@@ -1,0 +1,237 @@
+"""Functional NN primitives, NHWC / TPU-native.
+
+Every op is a pure function ``op(x, params, ...)`` over a parameter pytree.
+Layout conventions (chosen for TPU, not inherited from the torch reference):
+
+- activations: NHWC (channels-last; XLA's native conv layout on TPU),
+- conv kernels: HWIO,
+- linear kernels: (in, out) so forward is ``x @ kernel`` (MXU-friendly),
+- norm statistics and attention softmax accumulate in fp32 (policy-controlled).
+
+Semantics (not layout) match the reference blocks:
+- group_norm: torch GroupNorm (reference diffusion_utils.py:175-191 uses eps=1e-5
+  via GroupNorm32; attention.py:84 and the VAE use eps=1e-6 — eps is an argument).
+- gelu: exact erf form (torch.nn.GELU default), used by GEGLU/FeedForward
+  (reference attention.py:44-71).
+- timestep_embedding: cos-then-sin sinusoid (reference diffusion_utils.py:131-151).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# initializers (torch-default-compatible where it matters; exactness only
+# matters for zero-init layers, which diffusion models rely on structurally)
+# ---------------------------------------------------------------------------
+
+def _fan_in(shape, kind):
+    if kind == "conv":  # HWIO
+        return shape[0] * shape[1] * shape[2]
+    return shape[0]  # linear (in, out)
+
+
+def init_conv(key, h, w, cin, cout, dtype=jnp.float32, zero=False):
+    shape = (h, w, cin, cout)
+    if zero:
+        kernel = jnp.zeros(shape, dtype)
+        bias = jnp.zeros((cout,), dtype)
+    else:
+        kkey, bkey = jax.random.split(key)
+        bound = 1.0 / math.sqrt(_fan_in(shape, "conv"))
+        kernel = jax.random.uniform(kkey, shape, dtype, -math.sqrt(3.0) * bound, math.sqrt(3.0) * bound)
+        bias = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": bias}
+
+
+def init_linear(key, cin, cout, dtype=jnp.float32, zero=False, bias=True):
+    if zero:
+        p = {"kernel": jnp.zeros((cin, cout), dtype)}
+        if bias:
+            p["bias"] = jnp.zeros((cout,), dtype)
+        return p
+    kkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin)
+    p = {"kernel": jax.random.uniform(kkey, (cin, cout), dtype, -math.sqrt(3.0) * bound, math.sqrt(3.0) * bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+    return p
+
+
+def init_norm(c, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# core ops
+# ---------------------------------------------------------------------------
+
+def conv2d(x, p, *, stride=1, padding="SAME", dilation=1):
+    """NHWC conv. ``padding`` may be 'SAME', 'VALID', an int, or explicit pairs."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    kernel = p["kernel"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, kernel,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def linear(x, p):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(x, p, *, groups=32, eps=1e-5, norm_dtype=jnp.float32):
+    """GroupNorm over NHWC (or N...C) in fp32, channels grouped contiguously."""
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    assert c % groups == 0, (c, groups)
+    xf = x.astype(norm_dtype)
+    shape = x.shape[:-1] + (groups, c // groups)
+    xg = xf.reshape(shape)
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axes, keepdims=True)
+    var = xg.var(axes, keepdims=True)
+    xg = (xg - mean) * lax.rsqrt(var + eps)
+    xf = xg.reshape(x.shape)
+    xf = xf * p["scale"].astype(norm_dtype) + p["bias"].astype(norm_dtype)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(x, p, *, eps=1e-5, norm_dtype=jnp.float32):
+    orig_dtype = x.dtype
+    xf = x.astype(norm_dtype)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf * p["scale"].astype(norm_dtype) + p["bias"].astype(norm_dtype)
+    return xf.astype(orig_dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    # exact erf gelu (torch nn.GELU default)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def geglu(x, p):
+    """GEGLU feed-forward gate (reference attention.py:44-52)."""
+    y = linear(x, p)
+    val, gate = jnp.split(y, 2, axis=-1)
+    return val * gelu(gate)
+
+
+def timestep_embedding(timesteps, dim, max_period=10000, dtype=jnp.float32):
+    """Sinusoidal diffusion timestep embedding, [cos | sin] order
+    (reference diffusion_utils.py:131-151)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb.astype(dtype)
+
+
+def nearest_upsample_2x(x):
+    """Nearest-neighbor 2x upsample, NHWC (torch F.interpolate mode='nearest')."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def avg_pool_2x(x):
+    return lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") * 0.25
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def split_heads(x, n_heads):
+    """(B, S, H*D) -> (B, H, S, D)"""
+    b, s, hd = x.shape
+    return x.reshape(b, s, n_heads, hd // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    """(B, H, S, D) -> (B, S, H*D)"""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def dot_product_attention(q, k, v, *, scale=None, softmax_dtype=jnp.float32,
+                          mask=None, bias=None):
+    """Reference attention math (attention.py:181-196) with fp32 softmax.
+
+    q: (B, H, Sq, D), k/v: (B, H, Sk, D). Returns (B, H, Sq, D) in q.dtype.
+    """
+    orig_dtype = q.dtype
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=softmax_dtype) * scale
+    if bias is not None:
+        logits = logits + bias.astype(softmax_dtype)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(softmax_dtype).min)
+    probs = jax.nn.softmax(logits.astype(softmax_dtype), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(orig_dtype), v)
+    return out
+
+
+def multi_head_attention(x_q, x_kv, p, n_heads, *, softmax_dtype=jnp.float32,
+                         mask=None, bias=None, attn_fn=None):
+    """Separate-projection MHA: to_q/to_k/to_v (no bias) + to_out.
+
+    Matches reference CrossAttention (attention.py:159-201). ``attn_fn`` lets
+    callers swap in the Pallas flash kernel.
+    """
+    q = split_heads(linear(x_q, p["to_q"]), n_heads)
+    k = split_heads(linear(x_kv, p["to_k"]), n_heads)
+    v = split_heads(linear(x_kv, p["to_v"]), n_heads)
+    fn = attn_fn or partial(dot_product_attention, softmax_dtype=softmax_dtype)
+    out = fn(q, k, v, mask=mask, bias=bias) if (mask is not None or bias is not None) else fn(q, k, v)
+    return linear(merge_heads(out), p["to_out"])
+
+
+def torch_mha(x_q, x_kv, p, n_heads, *, softmax_dtype=jnp.float32, bias=None):
+    """torch.nn.MultiheadAttention semantics: packed in-proj (q|k|v) with bias,
+    plus out-proj with bias. Used by SeeCoder decoder/query-transformer
+    (reference seecoder.py:60-246 uses nn.MultiheadAttention throughout).
+
+    p: {'in_proj': {'kernel': (E, 3E), 'bias': (3E,)}, 'out_proj': {...}}
+    """
+    e = x_q.shape[-1]
+    w = p["in_proj"]["kernel"].astype(x_q.dtype)
+    b = p["in_proj"]["bias"].astype(x_q.dtype)
+    wq, wk, wv = w[:, :e], w[:, e:2 * e], w[:, 2 * e:]
+    bq, bk, bv = b[:e], b[e:2 * e], b[2 * e:]
+    q = split_heads(x_q @ wq + bq, n_heads)
+    k = split_heads(x_kv @ wk + bk, n_heads)
+    v = split_heads(x_kv @ wv + bv, n_heads)
+    out = dot_product_attention(q, k, v, softmax_dtype=softmax_dtype, bias=bias)
+    return linear(merge_heads(out), p["out_proj"])

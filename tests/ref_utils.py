@@ -1,0 +1,61 @@
+"""Helpers for parity tests against the PyTorch reference at /root/reference.
+
+We run the reference's *own code* (CPU, fp32, random weights) to produce golden
+tensors, convert the identical weights into pfd_tpu pytrees, and compare
+outputs. This tests bit-level weight-conversion correctness and math parity
+without copying any reference code into this repo.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+_loaded = False
+
+
+def load_reference():
+    """Make /root/reference importable (stubbing torchvision, absent here)."""
+    global _loaded
+    if _loaded:
+        return
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvm.VGG16_Weights = object()
+        tvm.vgg16 = lambda *a, **k: None
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    _loaded = True
+
+
+def sd_numpy(module) -> dict[str, np.ndarray]:
+    """torch module state_dict -> {name: float32 numpy}."""
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def t2n(t) -> np.ndarray:
+    return t.detach().cpu().numpy()
+
+
+def seed_all(seed=0):
+    import torch
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+
+
+def assert_close(a, b, rtol=1e-4, atol=1e-4, name=""):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    assert a.shape == b.shape, f"{name}: shape {a.shape} vs {b.shape}"
+    err = np.max(np.abs(a - b)) if a.size else 0.0
+    denom = np.maximum(np.abs(b), 1e-6)
+    rel = np.max(np.abs(a - b) / denom) if a.size else 0.0
+    ok = np.allclose(a, b, rtol=rtol, atol=atol)
+    assert ok, f"{name}: max abs err {err:.3e}, max rel err {rel:.3e}"
