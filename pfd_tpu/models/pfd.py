@@ -1,0 +1,207 @@
+"""PromptFreeDiffusion — the composite model (vae + ctx + diffuser [+ ctl]).
+
+Capability parity with the reference `pfd` / `pfd_with_control`
+(lib/model_zoo/pfd.py:28-528): modality-keyed sub-model dicts, the DDPM
+schedule buffers, q_sample / p_losses training math, vae encode/decode with
+latent scaling, ctx_encode dispatch, and the interleaved data/context block
+walk with optional ControlNet residuals.
+
+TPU-first differences: sub-models are pure functions over a params pytree
+{'vae': {modality: ...}, 'ctx': {...}, 'diffuser': {...}, 'ctl': ...};
+apply_model is ordinary traced control flow; RNG is explicit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfd_tpu import registry
+from pfd_tpu.diffusion import schedules as sched_lib
+from pfd_tpu.policy import Policy, FP32
+
+
+def _extract(table, t, ndim):
+    """Gather per-timestep scalars and broadcast to x's rank
+    (reference diffusion_utils.py:79-82)."""
+    out = jnp.asarray(table, jnp.float32)[t]
+    return out.reshape(out.shape[0], *([1] * (ndim - 1)))
+
+
+@registry.register("pfd")
+class PromptFreeDiffusion:
+    def __init__(self,
+                 vae_cfg_list,
+                 ctx_cfg_list,
+                 diffuser_cfg_list,
+                 latent_scale_factor=None,
+                 beta_linear_start=1e-4,
+                 beta_linear_end=2e-2,
+                 timesteps=1000,
+                 use_ema=False,
+                 global_layer_ptr=None,
+                 parameterization="eps",
+                 loss_type="l2",
+                 l_simple_weight=1.0,
+                 l_elbo_weight=0.0,
+                 v_posterior=0.0,
+                 policy: Policy = FP32,
+                 **kwargs):
+        self.policy = policy
+        self.vae = {name: self._build(cfg) for name, cfg in vae_cfg_list}
+        self.ctx = {name: self._build(cfg) for name, cfg in ctx_cfg_list}
+        self.diffuser = {name: self._build(cfg) for name, cfg in diffuser_cfg_list}
+        self.latent_scale_factor = latent_scale_factor or {}
+        self.global_layer_ptr = global_layer_ptr
+        self.parameterization = parameterization
+        self.loss_type = loss_type
+        self.l_simple_weight = l_simple_weight
+        self.l_elbo_weight = l_elbo_weight
+        self.use_ema = use_ema
+        self.schedule = sched_lib.make_diffusion_schedule(
+            "linear", timesteps, linear_start=beta_linear_start,
+            linear_end=beta_linear_end, v_posterior=v_posterior,
+            parameterization=parameterization)
+
+    def _build(self, cfg):
+        model = registry.get(cfg["type"])(**cfg.get("args", {}), policy=getattr(self, "policy", FP32))
+        return model
+
+    @property
+    def num_timesteps(self):
+        return self.schedule.num_timesteps
+
+    # ---- init ----------------------------------------------------------
+
+    def init(self, key):
+        groups = {"vae": self.vae, "ctx": self.ctx, "diffuser": self.diffuser}
+        params = {}
+        for gname, group in groups.items():
+            keys = jax.random.split(key, len(group) + 1)
+            key = keys[0]
+            params[gname] = {name: m.init(k)
+                             for (name, m), k in zip(group.items(), keys[1:])}
+        return params
+
+    # ---- vae / ctx -------------------------------------------------------
+
+    def vae_encode(self, params, x, which="image", rng=None, sample=True):
+        """x in [0,1] -> scaled latent (pfd.py:266-273)."""
+        z = self.vae[which].encode(params["vae"][which], x, rng=rng, sample=sample)
+        scale = self.latent_scale_factor.get(which)
+        if scale is not None:
+            z = z * scale
+        return z
+
+    def vae_decode(self, params, z, which="image"):
+        scale = self.latent_scale_factor.get(which)
+        if scale is not None:
+            z = z / scale
+        return self.vae[which].decode(params["vae"][which], z)
+
+    def ctx_encode(self, params, x, which="image", **kwargs):
+        """SeeCoder (or any registered ctx encoder) -> (B, 148, 768) tokens;
+        `vae_*` passthrough as in pfd.py:284-295."""
+        if which.startswith("vae_"):
+            return self.vae[which[4:]].encode(params["vae"][which[4:]], x, **kwargs)
+        return self.ctx[which].encode(params["ctx"][which], x, **kwargs)
+
+    # ---- diffusion math --------------------------------------------------
+
+    def q_sample(self, x0, t, noise):
+        """Forward noising (pfd.py:204-207)."""
+        s = self.schedule
+        a = _extract(s.sqrt_alphas_cumprod, t, x0.ndim).astype(x0.dtype)
+        b = _extract(s.sqrt_one_minus_alphas_cumprod, t, x0.ndim).astype(x0.dtype)
+        return a * x0 + b * noise
+
+    def predict_start_from_noise(self, xt, t, noise):
+        s = self.schedule
+        return (_extract(s.sqrt_recip_alphas_cumprod, t, xt.ndim).astype(xt.dtype) * xt
+                - _extract(s.sqrt_recipm1_alphas_cumprod, t, xt.ndim).astype(xt.dtype) * noise)
+
+    # ---- the interleaved walk ---------------------------------------------
+
+    def apply_model(self, params, x_info, timesteps, c_info, *, self_attn_fn=None):
+        """x_info: {'type': modality, 'x': latent NHWC}
+        c_info: {'type': modality, 'c': context tokens}
+        Pulls data blocks from diffuser[x_type] and context blocks from
+        diffuser[c_type] (pfd.py:326-329) — the checkpoint-zoo mechanism."""
+        x_type, x = x_info["type"], x_info["x"]
+        c_type, c = c_info["type"], c_info["c"]
+        glayer = x_type if self.global_layer_ptr is None else self.global_layer_ptr
+        unet = self.diffuser[x_type]
+        return unet.apply(
+            params["diffuser"][x_type], x, timesteps, c,
+            data_params=params["diffuser"][x_type]["data_blocks"],
+            context_params=params["diffuser"][c_type]["context_blocks"],
+            emb=self.diffuser[glayer].time_embedding(params["diffuser"][glayer], timesteps),
+            self_attn_fn=self_attn_fn,
+        )
+
+    # ---- training loss -----------------------------------------------------
+
+    def get_loss(self, pred, target, mean=True):
+        if self.loss_type == "l1":
+            loss = jnp.abs(target - pred)
+        elif self.loss_type == "l2":
+            loss = (target - pred) ** 2
+        else:
+            raise NotImplementedError(self.loss_type)
+        return loss.mean() if mean else loss
+
+    def p_losses(self, params, x0, t, cond, noise, *, x_type="image",
+                 c_type="image", self_attn_fn=None):
+        """eps-parameterized training loss with VLB weighting (pfd.py:229-264)."""
+        x_noisy = self.q_sample(x0, t, noise)
+        model_out = self.apply_model(
+            params, {"type": x_type, "x": x_noisy}, t,
+            {"type": c_type, "c": cond}, self_attn_fn=self_attn_fn)
+
+        target = noise if self.parameterization == "eps" else x0
+        loss_simple = self.get_loss(model_out.astype(jnp.float32),
+                                    target.astype(jnp.float32), mean=False)
+        loss_simple = loss_simple.mean(axis=tuple(range(1, loss_simple.ndim)))
+        loss = loss_simple.mean() * self.l_simple_weight
+        lvlb = _extract(self.schedule.lvlb_weights, t, 1)[:, 0] * loss_simple
+        loss = loss + self.l_elbo_weight * lvlb.mean()
+        return loss, {"loss_simple": loss_simple.mean(), "loss_vlb": lvlb.mean()}
+
+
+@registry.register("pfd_with_control")
+class PromptFreeDiffusionWithControl(PromptFreeDiffusion):
+    def __init__(self, *args, ctl_cfg=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert ctl_cfg is not None
+        self.ctl = self._build(ctl_cfg)
+        self.control_scales = [1.0] * self.ctl.num_residuals  # stored, not applied
+        # (parity: reference stores control_scales but never applies them,
+        #  pfd.py:463 vs 515-519)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        params = super().init(k1)
+        params["ctl"] = self.ctl.init(k2)
+        return params
+
+    def apply_model(self, params, x_info, timesteps, c_info, *, self_attn_fn=None):
+        x_type, x = x_info["type"], x_info["x"]
+        c_type, c = c_info["type"], c_info["c"]
+        hint = c_info.get("control", None)
+
+        residuals = None
+        if hint is not None:
+            residuals = self.ctl.apply(params["ctl"], x, hint, timesteps, c,
+                                       self_attn_fn=self_attn_fn)
+
+        glayer = x_type if self.global_layer_ptr is None else self.global_layer_ptr
+        unet = self.diffuser[x_type]
+        return unet.apply(
+            params["diffuser"][x_type], x, timesteps, c,
+            control_residuals=residuals,
+            data_params=params["diffuser"][x_type]["data_blocks"],
+            context_params=params["diffuser"][c_type]["context_blocks"],
+            emb=self.diffuser[glayer].time_embedding(params["diffuser"][glayer], timesteps),
+            self_attn_fn=self_attn_fn,
+        )
