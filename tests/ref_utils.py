@@ -29,6 +29,17 @@ def load_reference():
         tv.models = tvm
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        lc = types.ModuleType("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        lc.ListConfig = ListConfig
+        oc.listconfig = lc
+        sys.modules["omegaconf"] = oc
+        sys.modules["omegaconf.listconfig"] = lc
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     _loaded = True

@@ -1,0 +1,53 @@
+"""ControlNet parity vs reference, shared weights (tiny config)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pfd_tpu import registry
+from pfd_tpu.io.convert import torch_sd_to_pytree
+from tests import ref_utils
+from tests.ref_utils import assert_close
+
+TINY = dict(image_size=None, in_channels=4, hint_channels=3, model_channels=32,
+            attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+            num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+            context_dim=64, use_checkpoint=False, legacy=False)
+
+
+def test_controlnet_residual_parity():
+    ref_utils.load_reference()
+    import torch
+    from lib.model_zoo.controlnet import ControlNet as RefCN
+
+    ref_utils.seed_all(0)
+    ref = RefCN(**TINY).eval()
+    ours = registry.get("controlnet")(
+        in_channels=4, hint_channels=3, model_channels=32,
+        attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+        num_heads=4, context_dim=64)
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
+
+    ref_utils.seed_all(1)
+    x = np.random.randn(2, 4, 8, 8).astype(np.float32)
+    hint = np.random.rand(2, 3, 64, 64).astype(np.float32)
+    t = np.array([10, 500], np.int64)
+    c = np.random.randn(2, 9, 64).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), hint=torch.from_numpy(hint),
+                   timesteps=torch.from_numpy(t), context=torch.from_numpy(c))
+
+    got = ours.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     jnp.asarray(hint.transpose(0, 2, 3, 1)),
+                     jnp.asarray(t), jnp.asarray(c))
+    assert len(got) == len(want) == ours.num_residuals
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert_close(g, ref_utils.t2n(w).transpose(0, 2, 3, 1),
+                     rtol=2e-3, atol=2e-4, name=f"ctl residual {i}")
+
+
+def test_full_controlnet_plan():
+    from pfd_tpu import config
+
+    cn = registry.build_model(config.model_cfg("controlnet"))
+    assert cn.num_residuals == 13  # 12 input blocks + middle (SURVEY §2.7)
