@@ -38,8 +38,18 @@ KEEP_RAW_LEAVES = {
 KEEP_RAW_PARENTS = {
     "level_embed",
     "query_embed",
+    "init_query",
+    "query_pos_embedding",
     "token_embedding",
     "position_embedding",
+}
+
+# registered buffers that are recomputed statically on the TPU side and must
+# not enter the parameter pytree (swin.py:166 relative_position_index, etc.)
+DROP_LEAVES = {
+    "relative_position_index",
+    "attn_mask",
+    "num_batches_tracked",
 }
 
 
@@ -84,6 +94,8 @@ def torch_sd_to_pytree(sd: dict[str, np.ndarray], *, prefix: str = "",
         for pat, rep in rename:
             key = re.sub(pat, rep, key)
         path = tuple(key.split("."))
+        if path[-1] in DROP_LEAVES:
+            continue
         new_leaf, arr = _transform_leaf(path, np.asarray(arr))
         if isinstance(new_leaf, tuple):
             path = path[:-1] + new_leaf
