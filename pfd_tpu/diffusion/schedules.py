@@ -71,8 +71,11 @@ def make_diffusion_schedule(beta_schedule="linear", timesteps=1000,
         1.0 - alphas_cumprod) + v_posterior * betas
 
     if parameterization == "eps":
-        lvlb_weights = betas ** 2 / (
-            2 * posterior_variance * alphas * (1 - alphas_cumprod))
+        with np.errstate(divide="ignore"):
+            # element 0 divides by posterior_variance[0] == 0; it is
+            # overwritten below exactly as the reference does (pfd.py:163)
+            lvlb_weights = betas ** 2 / (
+                2 * posterior_variance * alphas * (1 - alphas_cumprod))
     elif parameterization == "x0":
         lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
     else:

@@ -164,7 +164,7 @@ class PromptFreeDiffusion:
                                     target.astype(jnp.float32), mean=False)
         loss_simple = loss_simple.mean(axis=tuple(range(1, loss_simple.ndim)))
         loss = loss_simple.mean() * self.l_simple_weight
-        lvlb = _extract(self.schedule.lvlb_weights, t, 1)[:, 0] * loss_simple
+        lvlb = jnp.asarray(self.schedule.lvlb_weights, jnp.float32)[t] * loss_simple
         loss = loss + self.l_elbo_weight * lvlb.mean()
         return loss, {"loss_simple": loss_simple.mean(), "loss_vlb": lvlb.mean()}
 

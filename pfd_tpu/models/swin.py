@@ -169,7 +169,7 @@ class SwinTransformer:
 
     def init(self, key):
         dtype = self.policy.param_dtype
-        keys = iter(jax.random.split(key, 4 + sum(self.depths) * 4 + 8))
+        keys = iter(jax.random.split(key, 8 + sum(self.depths) * 6))
         params = {"patch_embed": {
             "proj": nn.init_conv(next(keys), self.patch_size, self.patch_size,
                                  self.in_chans, self.embed_dim, dtype),

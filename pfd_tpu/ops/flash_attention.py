@@ -1,0 +1,131 @@
+"""Pallas flash attention for TPU — the UNet/VAE spatial self-attention kernel.
+
+Stands in for the reference's optional xformers memory-efficient attention
+(attention.py:10-15, 285): non-causal, no dropout, fp32 online softmax,
+bf16-friendly. Latent self-attention sequences run 256..36,864 tokens
+(SURVEY §5), so K/V are streamed in blocks with the online-softmax recurrence
+instead of materializing the (S, S) logits in HBM.
+
+Layout: (B, H, S, D) -> flattened (B*H, S, D). D is zero-padded to the 128
+lane width (exact: zero key columns don't change q·k, zero value columns are
+sliced off). Sequence is zero-padded to the block size with -inf masking of
+padded keys.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale, s_valid, bk):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                       # (bq, d)
+    k = k_ref[0]                       # (bk, d)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    # mask padded keys of the last block
+    first_key = j * bk
+    if s_valid % bk != 0:
+        key_ids = first_key + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < s_valid, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]              # (bq, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)             # (bq, bk)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(q, k, v, *, scale=None, block_q=256, block_k=512):
+    """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D)."""
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+
+    bq = min(block_q, _round_up(s, 128))
+    bk = min(block_k, _round_up(s, 128))
+    s_pad = _round_up(s, max(bq, bk))
+    d_pad = _round_up(d, 128)
+
+    def prep(x):
+        x = x.reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+
+    grid = (b * h, s_pad // bq, s_pad // bk)
+    kernel = functools.partial(_flash_kernel, scale=scale, s_valid=s, bk=bk)
+    interpret = jax.default_backend() == "cpu"  # tests run on the CPU mesh
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad * s_pad * d_pad,
+            bytes_accessed=(b * h * s_pad * d_pad * 2) * 4,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out[:, :s, :d].reshape(b, h, s, d)
+
+
+def self_attn_fn(q, k, v, *, min_seq=1024):
+    """Drop-in for ops.nn.dot_product_attention on self-attention: flash for
+    long sequences, plain XLA attention for short ones."""
+    from pfd_tpu.ops import nn
+
+    if q.shape[2] >= min_seq and q.shape[2] == k.shape[2]:
+        return flash_attention(q, k, v)
+    return nn.dot_product_attention(q, k, v)

@@ -72,7 +72,7 @@ def init_norm(c, dtype=jnp.float32):
 # core ops
 # ---------------------------------------------------------------------------
 
-def conv2d(x, p, *, stride=1, padding="SAME", dilation=1):
+def conv2d(x, p, *, stride=1, padding="SAME", dilation=1, groups=1):
     """NHWC conv. ``padding`` may be 'SAME', 'VALID', an int, or explicit pairs."""
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -87,6 +87,7 @@ def conv2d(x, p, *, stride=1, padding="SAME", dilation=1):
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

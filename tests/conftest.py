@@ -14,4 +14,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter startup; point back to the virtual CPU mesh for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, "tests expect the 8-device virtual CPU mesh"

@@ -1,0 +1,32 @@
+"""Flash attention kernel vs plain XLA attention (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfd_tpu.ops import nn
+from pfd_tpu.ops.flash_attention import flash_attention
+from tests.ref_utils import assert_close
+
+
+@pytest.mark.parametrize("s,d", [(256, 40), (520, 80), (1024, 64)])
+def test_flash_matches_xla(s, d):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, s, d), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, s, d), jnp.float32)
+    v = jax.random.normal(kv, (2, 3, s, d), jnp.float32)
+
+    want = nn.dot_product_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128)
+    assert_close(got, want, rtol=2e-3, atol=2e-4, name=f"flash s={s} d={d}")
+
+
+def test_flash_bf16():
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 2, 384, 40), jnp.bfloat16)
+    want = nn.dot_product_attention(q, q, q)
+    got = flash_attention(q, q, q, block_q=128, block_k=128)
+    assert_close(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                 rtol=3e-2, atol=3e-2, name="flash bf16")
