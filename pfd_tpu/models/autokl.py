@@ -38,13 +38,20 @@ def _resnet_block(p, x, policy):
 
 
 def _attn_block(p, x, policy):
-    """Single-head spatial self-attention (autokl_modules.py:150-204)."""
+    """Single-head spatial self-attention (autokl_modules.py:150-204).
+    Uses the Pallas flash kernel for long sequences (the 64x64 latent grid is
+    4096 tokens at c=512 — materializing S^2 logits is HBM-bound)."""
     b, hh, ww, c = x.shape
     h = nn.group_norm(x, p["norm"], eps=_EPS, norm_dtype=policy.norm_dtype)
     q = nn.conv2d(h, p["q"], padding=0).reshape(b, 1, hh * ww, c)
     k = nn.conv2d(h, p["k"], padding=0).reshape(b, 1, hh * ww, c)
     v = nn.conv2d(h, p["v"], padding=0).reshape(b, 1, hh * ww, c)
-    o = nn.dot_product_attention(q, k, v, softmax_dtype=policy.softmax_dtype)
+    if hh * ww >= 1024 and jax.default_backend() != "cpu":
+        from pfd_tpu.ops.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v)
+    else:
+        o = nn.dot_product_attention(q, k, v, softmax_dtype=policy.softmax_dtype)
     o = o.reshape(b, hh, ww, c)
     o = nn.conv2d(o, p["proj_out"], padding=0)
     return x + o

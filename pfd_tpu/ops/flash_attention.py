@@ -71,7 +71,7 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention(q, k, v, *, scale=None, block_q=256, block_k=512):
+def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
     """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D)."""
     b, h, s, d = q.shape
     if scale is None:

@@ -118,6 +118,16 @@ def group_norm(x, p, *, groups=32, eps=1e-5, norm_dtype=jnp.float32):
     return xf.astype(orig_dtype)
 
 
+def batch_norm(x, p, *, eps=1e-5):
+    """Inference-mode BatchNorm over the channel (last) axis using running
+    statistics (torch keys: weight/bias/running_mean/running_var)."""
+    mean = p["running_mean"].astype(jnp.float32)
+    var = p["running_var"].astype(jnp.float32)
+    scale = p["scale"].astype(jnp.float32) * lax.rsqrt(var + eps)
+    bias = p["bias"].astype(jnp.float32) - mean * scale
+    return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+
+
 def layer_norm(x, p, *, eps=1e-5, norm_dtype=jnp.float32):
     orig_dtype = x.dtype
     xf = x.astype(norm_dtype)

@@ -29,6 +29,18 @@ def load_reference():
         tv.models = tvm
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
+    if "cv2" not in sys.modules:
+        # reference annotator modules import cv2 at module level; tests only
+        # instantiate the torch nets, never the cv2 code paths.
+        cv2 = types.ModuleType("cv2")
+        cv2.Canny = None
+        cv2.resize = None
+        cv2.INTER_LINEAR = 1
+        cv2.INTER_AREA = 3
+        cv2.GaussianBlur = None
+        cv2.dilate = None
+        cv2.line = None
+        sys.modules["cv2"] = cv2
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
         lc = types.ModuleType("omegaconf.listconfig")

@@ -1,0 +1,96 @@
+"""Annotator parity: JAX annotator nets vs reference torch nets (random
+weights, CPU fp32), plus pixel-op behavior checks."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests import ref_utils
+from tests.ref_utils import assert_close
+
+
+def test_hed_net_parity():
+    ref_utils.load_reference()
+    import torch
+    from lib.model_zoo.controlnet_annotator.hed import ControlNetHED_Apache2
+
+    from pfd_tpu.annotators.nets import hed as jhed
+
+    ref_utils.seed_all(0)
+    net = ControlNetHED_Apache2().eval()
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    params = jhed.convert_sd(ref_utils.sd_numpy(net))
+
+    x = np.random.rand(40, 48, 3).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x * 255.0).permute(2, 0, 1)[None])
+    got = jhed.hed_forward(params, jnp.asarray(x)[None] * 255.0)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert_close(g[0, :, :, 0], ref_utils.t2n(w)[0, 0], rtol=1e-3,
+                     atol=1e-4, name=f"hed side {i}")
+
+
+def test_pidinet_parity():
+    ref_utils.load_reference()
+    import torch
+    from lib.model_zoo.controlnet_annotator.pidinet.model import pidinet as ref_pidinet
+
+    from pfd_tpu.annotators.nets import pidinet as jpid
+
+    ref_utils.seed_all(1)
+    net = ref_pidinet().eval()
+    params = jpid.convert_sd(ref_utils.sd_numpy(net))
+
+    x = np.random.rand(32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x).permute(2, 0, 1)[None])[-1]
+    got = jpid.pidinet_forward(params, jnp.asarray(x)[None])
+    assert_close(got[0, :, :, 0], ref_utils.t2n(want)[0, 0], rtol=2e-3,
+                 atol=2e-4, name="pidinet fused edge")
+
+
+def test_mlsd_parity():
+    ref_utils.load_reference()
+    import torch
+    from lib.model_zoo.controlnet_annotator.mlsd.models.mbv2_mlsd_large import (
+        MobileV2_MLSD_Large)
+
+    from pfd_tpu.annotators.nets import mlsd as jmlsd
+    from pfd_tpu.io.convert import torch_sd_to_pytree
+
+    ref_utils.seed_all(2)
+    net = MobileV2_MLSD_Large().eval()
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(net))
+
+    x = np.random.randn(1, 4, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x))
+    got = jmlsd.mlsd_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
+                 rtol=2e-3, atol=2e-4, name="mlsd tpmap")
+
+
+def test_canny_basic():
+    from pfd_tpu.annotators.canny import apply_canny
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 255
+    edges = apply_canny(img, 100, 200)
+    assert edges.dtype == np.uint8
+    frac = (edges > 0).mean()
+    assert 0.01 < frac < 0.2, f"edge fraction {frac}"
+    # edges hug the square boundary
+    assert edges[16, 16:48].any() or edges[15, 16:48].any()
+
+
+def test_scribble_ops():
+    from pfd_tpu.annotators import make_scribble, apply_scribble_xdog
+
+    edge = (np.random.rand(64, 64) * 255).astype(np.float32)
+    out = make_scribble(edge)
+    assert out.dtype == np.uint8 and set(np.unique(out)) <= {0, 255}
+    img = np.random.rand(64, 64, 3).astype(np.float32)
+    xd = apply_scribble_xdog(img)
+    assert xd.shape == (64, 64)
