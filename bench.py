@@ -29,7 +29,7 @@ def build():
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"

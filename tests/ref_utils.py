@@ -26,9 +26,47 @@ def load_reference():
         tvm = types.ModuleType("torchvision.models")
         tvm.VGG16_Weights = object()
         tvm.vgg16 = lambda *a, **k: None
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.ToTensor = lambda *a, **k: None
+        tvt.ToPILImage = lambda *a, **k: None
         tv.models = tvm
+        tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
+        sys.modules["torchvision.transforms"] = tvt
+    if "skimage" not in sys.modules:
+        try:
+            import skimage  # noqa: F401
+        except ImportError:
+            from scipy import ndimage as _ndi
+
+            sk = types.ModuleType("skimage")
+            skm = types.ModuleType("skimage.measure")
+
+            def _label(binary, return_num=False, connectivity=None):
+                lbl, n = _ndi.label(binary)
+                return (lbl, n) if return_num else lbl
+
+            skm.label = _label
+            sk.measure = skm
+            sys.modules["skimage"] = sk
+            sys.modules["skimage.measure"] = skm
+    if "matplotlib" not in sys.modules:
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError:
+            import colorsys
+
+            mpl = types.ModuleType("matplotlib")
+            mcolors = types.ModuleType("matplotlib.colors")
+            mcolors.hsv_to_rgb = lambda hsv: __import__("numpy").array(
+                colorsys.hsv_to_rgb(*hsv))
+            mpl.colors = mcolors
+            mplt = types.ModuleType("matplotlib.pyplot")
+            mpl.pyplot = mplt
+            sys.modules["matplotlib"] = mpl
+            sys.modules["matplotlib.colors"] = mcolors
+            sys.modules["matplotlib.pyplot"] = mplt
     if "cv2" not in sys.modules:
         # reference annotator modules import cv2 at module level; tests only
         # instantiate the torch nets, never the cv2 code paths.
