@@ -94,3 +94,17 @@ def test_scribble_ops():
     img = np.random.rand(64, 64, 3).astype(np.float32)
     xd = apply_scribble_xdog(img)
     assert xd.shape == (64, 64)
+
+
+def test_midas_dpt_shapes():
+    """DPT-hybrid structural smoke: arbitrary multiple-of-32 input -> depth map
+    at input res; normal map finite. (Numeric parity vs timm is not testable
+    here — the reference itself cannot build its timm backbone in this env.)"""
+    import jax
+    from pfd_tpu.annotators.nets import midas as jmidas
+
+    params = jmidas.init_params(jax.random.PRNGKey(0))
+    img = np.random.rand(64, 96, 3).astype(np.float32)
+    depth, normal = jmidas.apply_midas(img, params=params)
+    assert depth.shape == (64, 96) and depth.dtype == np.uint8
+    assert normal.shape == (64, 96, 3) and normal.dtype == np.uint8
