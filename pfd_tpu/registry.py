@@ -17,6 +17,8 @@ _REGISTRY: dict[str, Callable] = {}
 # get_model.py:72-85's lazy module import by cfg.type prefix).
 _MODULE_FOR_PREFIX = {
     "autoencoderkl": "pfd_tpu.models.autokl",
+    "clip": "pfd_tpu.models.clip",
+    "openclip": "pfd_tpu.models.clip",
     "openai_unet": "pfd_tpu.models.unet",
     "swin": "pfd_tpu.models.swin",
     "seecoder": "pfd_tpu.models.seecoder",

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 
 def init(params):
-    return {"shadow": jax.tree.map(jnp.asarray, params),
+    # deep copy: params buffers may be donated by the train step
+    return {"shadow": jax.tree.map(lambda x: jnp.array(x, copy=True), params),
             "num_updates": jnp.zeros((), jnp.int32)}
 
 

@@ -50,7 +50,9 @@ def build_optimizer(opt_type, args, *, labels=None, lr_scales=None,
     """Build an optax transform. ``labels``: label pytree (from
     pfd_parameter_groups); ``lr_scales``: {label: scale}; 'frozen' label gets
     zero updates. ``learning_rate`` may be a float or a step->lr callable."""
-    lr = learning_rate if learning_rate is not None else args.get("lr", 1e-4)
+    args = dict(args)
+    lr = learning_rate if learning_rate is not None else args.pop("lr", 1e-4)
+    args.pop("lr", None)
     factory = _FACTORIES[opt_type]
 
     def make(scale=1.0):
