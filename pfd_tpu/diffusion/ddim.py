@@ -65,8 +65,13 @@ class DDIMSampler:
 
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
                   temperature=1.0, x_type="image", c_type="image",
-                  self_attn_fn=None):
-        """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes)."""
+                  self_attn_fn=None, encoder_interval=1):
+        """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
+
+        encoder_interval > 1 enables encoder propagation (Faster Diffusion,
+        arXiv:2312.09608): the UNet encoder (+ ControlNet) runs only every
+        k-th step and its features are reused in between — an opt-in,
+        output-changing speedup (~20-30%% at k=2-3)."""
         model = self.model
         cond = c_info["conditioning"]
         uncond = c_info.get("unconditional_conditioning")
@@ -110,19 +115,82 @@ class DDIMSampler:
             e_uc, e_c = jnp.split(e, 2, axis=0)
             return e_uc + scale * (e_c - e_uc)
 
-        def step(carry, inp):
-            xt, key = carry
-            row, = inp
-            t_f, a_t, a_prev, sqrt_1m_a, sigma = row[0], row[1], row[2], row[3], row[4]
-            ts = jnp.full((b,), t_f.astype(jnp.int32), jnp.int32)
-            e_t = eps_fn(xt, ts)
+        def make_inputs(xt, ts):
+            """CFG-doubled (x_in, t_in, c_info_in) or plain."""
+            if not use_cfg:
+                ci = {"type": c_type, "c": cond}
+                if control is not None:
+                    ci["control"] = control
+                return xt, ts, ci
+            x_in = jnp.concatenate([xt, xt], axis=0)
+            t_in = jnp.concatenate([ts, ts], axis=0)
+            ci = {"type": c_type, "c": jnp.concatenate([uncond, cond], axis=0)}
+            if control is not None:
+                ci["control"] = jnp.concatenate([control, control], axis=0)
+            return x_in, t_in, ci
+
+        def guide(e):
+            e = e.astype(jnp.float32)
+            if not use_cfg:
+                return e * scale  # reference quirk ddim.py:140-143
+            e_uc, e_c = jnp.split(e, 2, axis=0)
+            return e_uc + scale * (e_c - e_uc)
+
+        def eps_cached(xt, ts, cache, is_key):
+            x_in, t_in, ci = make_inputs(xt, ts)
+
+            def full(_):
+                return model.apply_model_encoder(
+                    params, {"type": x_type, "x": x_in}, t_in, ci,
+                    self_attn_fn=self_attn_fn)
+
+            cache = jax.lax.cond(is_key, full, lambda c: c, cache)
+            e = model.apply_model_decoder(params, cache[0], cache[1], t_in, ci,
+                                          x_type=x_type,
+                                          self_attn_fn=self_attn_fn)
+            return guide(e), cache
+
+        def ddim_update(xt, key, row, e_t):
+            a_t, a_prev, sqrt_1m_a, sigma = row[1], row[2], row[3], row[4]
             xf = xt.astype(jnp.float32)
             pred_x0 = (xf - sqrt_1m_a * e_t) / jnp.sqrt(a_t)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
             key, nkey = jax.random.split(key)
             noise = sigma * jax.random.normal(nkey, xf.shape, jnp.float32) * temperature
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-            return (x_prev.astype(xt.dtype), key), pred_x0
+            return x_prev.astype(xt.dtype), key, pred_x0
 
-        (x_final, _), pred_x0s = jax.lax.scan(step, (x, rng), (per_step,))
+        if encoder_interval <= 1:
+            def step(carry, inp):
+                xt, key = carry
+                row, = inp
+                ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
+                e_t = eps_fn(xt, ts)
+                x_prev, key, pred_x0 = ddim_update(xt, key, row, e_t)
+                return (x_prev, key), pred_x0
+
+            (x_final, _), pred_x0s = jax.lax.scan(step, (x, rng), (per_step,))
+            return x_final, {"pred_x0": pred_x0s[-1]}
+
+        # --- encoder propagation path ---
+        x_in0, t_in0, ci0 = make_inputs(
+            x, jnp.full((b,), int(per_step[0, 0]), jnp.int32))
+        cache0 = jax.tree.map(
+            jnp.zeros_like,
+            jax.eval_shape(lambda: model.apply_model_encoder(
+                params, {"type": x_type, "x": x_in0}, t_in0, ci0,
+                self_attn_fn=self_attn_fn)))
+        idxs_arr = jnp.arange(n_steps)
+
+        def step(carry, inp):
+            xt, key, cache = carry
+            row, i = inp
+            ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
+            is_key = (i % encoder_interval) == 0
+            e_t, cache = eps_cached(xt, ts, cache, is_key)
+            x_prev, key, pred_x0 = ddim_update(xt, key, row, e_t)
+            return (x_prev, key, cache), pred_x0
+
+        (x_final, _, _), pred_x0s = jax.lax.scan(
+            step, (x, rng, cache0), (per_step, idxs_arr))
         return x_final, {"pred_x0": pred_x0s[-1]}

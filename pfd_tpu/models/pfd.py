@@ -140,6 +140,38 @@ class PromptFreeDiffusion:
             self_attn_fn=self_attn_fn,
         )
 
+    def _merged_diffuser_params(self, params, x_type, c_type):
+        """data blocks from diffuser[x_type], context from diffuser[c_type]
+        (pfd.py:326-329), as one param dict for the split encoder/decoder."""
+        glayer = x_type if self.global_layer_ptr is None else self.global_layer_ptr
+        return {
+            "time_embed": params["diffuser"][glayer]["time_embed"],
+            "data_blocks": params["diffuser"][x_type]["data_blocks"],
+            "context_blocks": params["diffuser"][c_type]["context_blocks"],
+        }
+
+    def apply_model_encoder(self, params, x_info, timesteps, c_info, *,
+                            self_attn_fn=None):
+        """Encoder half (+ ControlNet residuals folded into the skips) for
+        encoder-propagation sampling."""
+        x_type, c_type = x_info["type"], c_info["type"]
+        residuals = None
+        hint = c_info.get("control")
+        if hint is not None and hasattr(self, "ctl"):
+            residuals = self.ctl.apply(params["ctl"], x_info["x"], hint,
+                                       timesteps, c_info["c"],
+                                       self_attn_fn=self_attn_fn)
+        merged = self._merged_diffuser_params(params, x_type, c_type)
+        return self.diffuser[x_type].apply_encoder(
+            merged, x_info["x"], timesteps, c_info["c"],
+            control_residuals=residuals, self_attn_fn=self_attn_fn)
+
+    def apply_model_decoder(self, params, h, hs, timesteps, c_info, *,
+                            x_type="image", self_attn_fn=None):
+        merged = self._merged_diffuser_params(params, x_type, c_info["type"])
+        return self.diffuser[x_type].apply_decoder(
+            merged, h, hs, timesteps, c_info["c"], self_attn_fn=self_attn_fn)
+
     # ---- training loss -----------------------------------------------------
 
     def get_loss(self, pred, target, mean=True):

@@ -256,3 +256,60 @@ class UNetModel2DNext:
         for op in plan.o_ops:
             h = run_op(op, h, hs)
         return h
+
+    def apply_encoder(self, params, x, timesteps, context, *,
+                      control_residuals=None, self_attn_fn=None, emb=None):
+        """Input + middle halves only; returns (h_mid, skip-tuple) for
+        encoder-propagation sampling (Faster Diffusion, arXiv:2312.09608:
+        encoder features evolve slowly across adjacent steps and can be
+        reused; the decoder stays per-step via the time embedding)."""
+        pol = self.policy
+        if emb is None:
+            emb = self.time_embedding(params, timesteps)
+        x = pol.cast(x)
+        context = pol.cast(context) if context is not None else None
+        dp, cp = params["data_blocks"], params["context_blocks"]
+        ccs = list(control_residuals) if control_residuals is not None else None
+
+        hs = []
+        h = x
+        for op in self.plan.i_ops + self.plan.m_ops:
+            kind = op[0]
+            if kind == "d":
+                h = apply_data_block(dp[str(op[1])], self.plan.data_specs[op[1]],
+                                     h, emb, pol)
+            elif kind == "c":
+                spec = self.plan.context_specs[op[1]]
+                h = blocks.spatial_transformer(cp[str(op[1])]["0"], h, context,
+                                               spec.n_heads, pol,
+                                               self_attn_fn=self_attn_fn)
+            elif kind == "save":
+                hs.append(h)
+        if ccs is not None:
+            mid_cc = ccs.pop()
+            hs = [s + pol.cast(c) for s, c in zip(hs, ccs)]
+            h = h + pol.cast(mid_cc)
+        return h, tuple(hs)
+
+    def apply_decoder(self, params, h, hs, timesteps, context, *,
+                      self_attn_fn=None, emb=None):
+        """Output half given (possibly cached) encoder state."""
+        pol = self.policy
+        if emb is None:
+            emb = self.time_embedding(params, timesteps)
+        context = pol.cast(context) if context is not None else None
+        dp, cp = params["data_blocks"], params["context_blocks"]
+        hs = list(hs)
+        for op in self.plan.o_ops:
+            kind = op[0]
+            if kind == "load":
+                h = jax.numpy.concatenate([h, hs.pop()], axis=-1)
+            elif kind == "d":
+                h = apply_data_block(dp[str(op[1])], self.plan.data_specs[op[1]],
+                                     h, emb, pol)
+            elif kind == "c":
+                spec = self.plan.context_specs[op[1]]
+                h = blocks.spatial_transformer(cp[str(op[1])]["0"], h, context,
+                                               spec.n_heads, pol,
+                                               self_attn_fn=self_attn_fn)
+        return h

@@ -104,6 +104,39 @@ def t2n(t) -> np.ndarray:
     return t.detach().cpu().numpy()
 
 
+def randomize_params(net, scale=0.05, seed=None):
+    """Set EVERY parameter (incl. zero-init convs) to random values.
+
+    Diffusion UNets zero-init their output convs (zero_module) — with fresh
+    init both implementations output exact zeros and a parity test passes
+    vacuously. Randomizing everything makes the whole graph observable."""
+    import torch
+
+    if seed is not None:
+        torch.manual_seed(seed)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn_like(p) * scale)
+    return net
+
+
+def dezero_pytree(params, key=0, scale=0.05):
+    """Replace all-zero leaves of a pfd_tpu pytree with random values (same
+    rationale as randomize_params, for jax-side-only tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(key)
+
+    def fix(x):
+        x = np.asarray(x)
+        if x.size and not np.any(x):
+            return jnp.asarray(rng.standard_normal(x.shape).astype(x.dtype) * scale)
+        return jnp.asarray(x)
+
+    return jax.tree.map(fix, params)
+
+
 def seed_all(seed=0):
     import torch
 

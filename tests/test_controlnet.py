@@ -21,6 +21,7 @@ def test_controlnet_residual_parity():
 
     ref_utils.seed_all(0)
     ref = RefCN(**TINY).eval()
+    ref_utils.randomize_params(ref, seed=9)  # de-zero zero_convs/hint conv
     ours = registry.get("controlnet")(
         in_channels=4, hint_channels=3, model_channels=32,
         attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],

@@ -62,6 +62,7 @@ def test_ddim_loop_parity(ugscale, use_uncond):
 
     ref_utils.seed_all(0)
     ref_unet = UNetModel2D_Next(**TINY).eval()
+    ref_utils.randomize_params(ref_unet, seed=11)  # de-zero output convs
     shell_ref = make_ref_shell(ref_unet)
     sampler_ref = RefDDIM(shell_ref)
 

@@ -58,6 +58,7 @@ def make_pair(cfg_args):
 
     ref_utils.seed_all(0)
     ref = UNetModel2D_Next(**cfg_args).eval()
+    ref_utils.randomize_params(ref, seed=7)  # de-zero the zero-init convs
     ours = registry.get("openai_unet_2d_next")(**cfg_args)
     params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
     return ref, ours, params
@@ -116,6 +117,7 @@ def test_sd15_unet_forward_parity():
 
     ref_utils.seed_all(2)
     ref = UNetModel2D_Next(**cfg["args"]).eval()
+    ref_utils.randomize_params(ref, scale=0.02, seed=8)
     ours = registry.build_model(cfg)
     params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
 
