@@ -33,6 +33,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
+    # >1 enables encoder-propagation turbo (output-changing; opt-in)
+    enc_interval = int(os.environ.get("BENCH_ENCODER_INTERVAL", "1"))
     model, params, sampler = build()
     tables = sampler.make_tables(steps, 0.0)
 
@@ -51,7 +53,8 @@ def main():
         c_info = {"conditioning": c, "unconditional_conditioning": u,
                   "unconditional_guidance_scale": 2.0}
         x, _ = sampler.sample_fn(params, rng, x, c_info, tables,
-                                 self_attn_fn=attn)
+                                 self_attn_fn=attn,
+                                 encoder_interval=enc_interval)
         return model.vae_decode(params, x, "image")
 
     fn = jax.jit(e2e)

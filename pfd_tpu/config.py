@@ -264,3 +264,24 @@ def get_model_builder(cfg_type: str) -> Callable:
     from pfd_tpu import registry
 
     return registry.get(cfg_type)
+
+
+register_config("openai_unet_sd", {
+    # reference configs/model/openai_unet.yaml:1-17 (classic layout)
+    "symbol": "unet",
+    "type": "openai_unet",
+    "args": {
+        "image_size": None,
+        "in_channels": 4,
+        "out_channels": 4,
+        "model_channels": 320,
+        "attention_resolutions": [4, 2, 1],
+        "num_res_blocks": [2, 2, 2, 2],
+        "channel_mult": [1, 2, 4, 4],
+        "num_heads": 8,
+        "use_spatial_transformer": True,
+        "transformer_depth": 1,
+        "context_dim": 768,
+        "legacy": False,
+    },
+})

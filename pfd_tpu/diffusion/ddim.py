@@ -84,13 +84,14 @@ class DDIMSampler:
         # reversed time: index runs total-1 .. total-n_steps... actually the
         # reference runs indices n_steps-1 .. 0 over timesteps[:n_steps].
         idxs = np.arange(n_steps)[::-1]
-        per_step = jnp.asarray(np.stack([
+        per_step_np = np.stack([
             tables.timesteps[idxs].astype(np.float32),
             tables.alphas[idxs],
             tables.alphas_prev[idxs],
             tables.sqrt_one_minus_alphas[idxs],
             tables.sigmas[idxs],
-        ], axis=1), jnp.float32)
+        ], axis=1)
+        per_step = jnp.asarray(per_step_np, jnp.float32)
 
         b = x.shape[0]
         use_cfg = uncond is not None
@@ -174,7 +175,7 @@ class DDIMSampler:
 
         # --- encoder propagation path ---
         x_in0, t_in0, ci0 = make_inputs(
-            x, jnp.full((b,), int(per_step[0, 0]), jnp.int32))
+            x, jnp.full((b,), int(per_step_np[0, 0]), jnp.int32))
         cache0 = jax.tree.map(
             jnp.zeros_like,
             jax.eval_shape(lambda: model.apply_model_encoder(

@@ -313,3 +313,7 @@ class UNetModel2DNext:
                                                spec.n_heads, pol,
                                                self_attn_fn=self_attn_fn)
         return h
+
+
+# register the classic-layout variant (same plan, sdwebui param layout)
+from pfd_tpu.models import unet_classic  # noqa: E402,F401

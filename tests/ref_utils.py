@@ -92,6 +92,12 @@ def load_reference():
         sys.modules["omegaconf.listconfig"] = lc
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    # reference sync.py rank helpers divide by torch.cuda.device_count()
+    # (== 0 on CPU, sync.py:31-41); neutralize for CPU test runs.
+    import lib.sync as ref_sync
+
+    ref_sync.get_rank = lambda type="local": (0, 0, 0) if type == "all" else 0
+    ref_sync.get_world_size = lambda type="local": (1, 1, 1) if type == "all" else 1
     _loaded = True
 
 

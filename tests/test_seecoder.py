@@ -126,9 +126,23 @@ def test_full_seecoder_parity():
 
     ref_utils.seed_all(3)
     cfg = config.model_cfg("seecoder")
-    ref = RefSC(imencoder_cfg=cfg["args"]["imencoder_cfg"],
-                imdecoder_cfg=cfg["args"]["imdecoder_cfg"],
-                qtransformer_cfg=cfg["args"]["qtransformer_cfg"]).eval()
+
+    class AttrDict(dict):
+        """reference get_model expects easydict-style attr access."""
+
+        def __getattr__(self, k):
+            if k.startswith("__"):
+                raise AttributeError(k)
+            v = self[k]
+            return AttrDict(v) if isinstance(v, dict) else v
+
+        def get(self, k, default=None):
+            v = super().get(k, default)
+            return AttrDict(v) if isinstance(v, dict) else v
+
+    ref = RefSC(imencoder_cfg=AttrDict(cfg["args"]["imencoder_cfg"]),
+                imdecoder_cfg=AttrDict(cfg["args"]["imdecoder_cfg"]),
+                qtransformer_cfg=AttrDict(cfg["args"]["qtransformer_cfg"])).eval()
     ours = registry.build_model(cfg)
     params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
 

@@ -131,3 +131,31 @@ def test_sd15_unet_forward_parity():
                      jnp.asarray(t), jnp.asarray(c))
     assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
                  rtol=2e-3, atol=5e-4, name="sd15 unet eps")
+
+
+def test_classic_unet_parity():
+    """openai_unet (classic sdwebui layout) vs reference openai_unet."""
+    import torch
+    ref_utils.load_reference()
+    from lib.model_zoo.openaimodel import UNetModel as RefClassic
+
+    ref_utils.seed_all(4)
+    kw = dict(image_size=None, in_channels=4, out_channels=4, model_channels=32,
+              attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+              num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+              context_dim=64, use_checkpoint=False, legacy=False)
+    ref = RefClassic(**kw).eval()
+    ref_utils.randomize_params(ref, seed=13)
+    ours = registry.get("openai_unet")(**kw)
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
+
+    x = np.random.randn(2, 4, 16, 16).astype(np.float32)
+    t = np.array([3, 977], np.int64)
+    c = np.random.randn(2, 9, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                   context=torch.from_numpy(c))
+    got = ours.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     jnp.asarray(t), jnp.asarray(c))
+    assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
+                 rtol=2e-3, atol=2e-4, name="classic unet")
