@@ -63,6 +63,73 @@ class DDIMSampler:
                               temperature=temperature, x_type=x_type,
                               c_type=c_type)
 
+    def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
+                            steps=50, eta=0.0, temperature=1.0,
+                            x_type="image", mixing_type="attention",
+                            self_attn_fn=None):
+        """Multi-context sampling (reference ddim.py:174-299): several context
+        streams mixed per context block; one shared guidance scale
+        (asserted, ddim.py:257-262)."""
+        tables = self.make_tables(steps, eta)
+        scales = {ci["unconditional_guidance_scale"] for ci in c_info_list}
+        assert len(scales) == 1, \
+            "a different guidance scale between contexts is not allowed"
+        scale = scales.pop()
+        use_cfg = scale != 1.0
+
+        rng, init_rng = jax.random.split(rng)
+        x_info = dict(x_info or {})
+        if x_info.get("xt") is not None:
+            x = jnp.asarray(x_info["xt"])
+        else:
+            x = jax.random.normal(init_rng, shape, jnp.float32)
+
+        n_steps = len(tables.timesteps)
+        idxs = np.arange(n_steps)[::-1]
+        per_step_np = np.stack([
+            tables.timesteps[idxs].astype(np.float32), tables.alphas[idxs],
+            tables.alphas_prev[idxs], tables.sqrt_one_minus_alphas[idxs],
+            tables.sigmas[idxs]], axis=1)
+        per_step = jnp.asarray(per_step_np, jnp.float32)
+        b = shape[0]
+
+        def eps_fn(xt, ts, key):
+            if use_cfg:
+                ci_list = [dict(type=ci["type"], ratio=ci["ratio"],
+                                c=jnp.concatenate([ci["unconditional_conditioning"],
+                                                   ci["conditioning"]]))
+                           for ci in c_info_list]
+                x_in = jnp.concatenate([xt, xt])
+                t_in = jnp.concatenate([ts, ts])
+            else:
+                ci_list = [dict(type=ci["type"], ratio=ci["ratio"],
+                                c=ci["conditioning"]) for ci in c_info_list]
+                x_in, t_in = xt, ts
+            e = self.model.apply_model_multicontext(
+                params, {"type": x_type, "x": x_in}, t_in, ci_list,
+                mixing_type=mixing_type, rng=key,
+                self_attn_fn=self_attn_fn).astype(jnp.float32)
+            if not use_cfg:
+                return e
+            e_uc, e_c = jnp.split(e, 2)
+            return e_uc + scale * (e_c - e_uc)
+
+        def step(carry, row):
+            xt, key = carry
+            key, mix_key, nkey = jax.random.split(key, 3)
+            ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
+            e_t = eps_fn(xt, ts, mix_key)
+            xf = xt.astype(jnp.float32)
+            a_t, a_prev, s1m, sigma = row[1], row[2], row[3], row[4]
+            pred_x0 = (xf - s1m * e_t) / jnp.sqrt(a_t)
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
+            noise = sigma * jax.random.normal(nkey, xf.shape, jnp.float32) * temperature
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+            return (x_prev.astype(xt.dtype), key), pred_x0
+
+        (x_final, _), pred_x0s = jax.lax.scan(step, (x, rng), per_step)
+        return x_final, {"pred_x0": pred_x0s[-1]}
+
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
                   temperature=1.0, x_type="image", c_type="image",
                   self_attn_fn=None, encoder_interval=1):

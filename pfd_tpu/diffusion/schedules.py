@@ -105,6 +105,14 @@ def make_ddim_timesteps(num_ddim_timesteps: int, num_ddpm_timesteps: int,
     if method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
         ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
+        if ddim_timesteps[-1] + 1 >= num_ddpm_timesteps:
+            # the reference grid overflows alphas_cumprod for step counts that
+            # don't divide the DDPM horizon (diffusion_utils.py:34-36 would
+            # index alphacums[1000]); fail with a clear message instead.
+            raise ValueError(
+                f"num_ddim_timesteps={num_ddim_timesteps} must divide "
+                f"num_ddpm_timesteps={num_ddpm_timesteps} (reference grid "
+                "constraint)")
     elif method == "quad":
         ddim_timesteps = ((np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8),
                                        num_ddim_timesteps)) ** 2).astype(int)

@@ -172,6 +172,79 @@ class PromptFreeDiffusion:
         return self.diffuser[x_type].apply_decoder(
             merged, h, hs, timesteps, c_info["c"], self_attn_fn=self_attn_fn)
 
+    # ---- multicontext -------------------------------------------------------
+
+    def apply_model_multicontext(self, params, x_info, timesteps, c_info_list,
+                                 mixing_type="attention", *, rng=None,
+                                 self_attn_fn=None):
+        """Multiple context streams mixed per context block
+        (pfd.py:367-439). c_info_list: [{'type', 'c', 'ratio'}].
+
+        'attention': ratio-weighted sum of each context pathway's block output.
+        'layer': per-block stochastic pathway choice — the reference draws
+        with np.random at forward time (pfd.py:381-385); here the draw uses an
+        explicit rng key and selects among precomputed branches (lax.switch
+        over a static module set), keeping the function pure/jittable."""
+        from pfd_tpu.models import blocks as blk
+        from pfd_tpu.models.unet import apply_data_block
+
+        x_type, x = x_info["type"], x_info["x"]
+        unet = self.diffuser[x_type]
+        pol = unet.policy
+        plan = unet.plan
+
+        ratios = np.array([ci["ratio"] for ci in c_info_list], np.float32)
+        ratios = ratios / ratios.sum()
+        ctx_params = [params["diffuser"][ci["type"]]["context_blocks"]
+                      for ci in c_info_list]
+        contexts = [pol.cast(ci["c"]) for ci in c_info_list]
+
+        glayer = x_type if self.global_layer_ptr is None else self.global_layer_ptr
+        emb = self.diffuser[glayer].time_embedding(params["diffuser"][glayer],
+                                                   timesteps)
+        emb = pol.cast(emb)
+        dp = params["diffuser"][x_type]["data_blocks"]
+
+        if mixing_type == "layer":
+            assert rng is not None, "'layer' mixing draws pathways from rng"
+        n_ctx_blocks = len(plan.context_specs)
+        if rng is not None:
+            choices = jax.random.choice(rng, len(c_info_list),
+                                        (n_ctx_blocks,), p=jnp.asarray(ratios))
+
+        def run_ctx(i, h):
+            spec = plan.context_specs[i]
+            outs = [blk.spatial_transformer(cp[str(i)]["0"], h, c, spec.n_heads,
+                                            pol, self_attn_fn=self_attn_fn)
+                    for cp, c in zip(ctx_params, contexts)]
+            if mixing_type == "attention":
+                mixed = outs[0] * ratios[0]
+                for o, r in zip(outs[1:], ratios[1:]):
+                    mixed = mixed + o * r
+                return mixed
+            if mixing_type == "layer":
+                return jax.lax.switch(choices[i], [lambda o=o: o for o in outs])
+            raise ValueError(mixing_type)
+
+        hs, h = [], pol.cast(x)
+        for op in plan.i_ops + plan.m_ops:
+            if op[0] == "d":
+                h = apply_data_block(dp[str(op[1])], plan.data_specs[op[1]],
+                                     h, emb, pol)
+            elif op[0] == "c":
+                h = run_ctx(op[1], h)
+            elif op[0] == "save":
+                hs.append(h)
+        for op in plan.o_ops:
+            if op[0] == "load":
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+            elif op[0] == "d":
+                h = apply_data_block(dp[str(op[1])], plan.data_specs[op[1]],
+                                     h, emb, pol)
+            elif op[0] == "c":
+                h = run_ctx(op[1], h)
+        return h
+
     # ---- training loss -----------------------------------------------------
 
     def get_loss(self, pred, target, mean=True):
