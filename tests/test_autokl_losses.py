@@ -54,7 +54,7 @@ def test_vae_gan_training_protocol_smoke():
     """Both optimizer phases produce finite losses and usable grads on a
     tiny VAE (the reference protocol, autokl.py:72-111)."""
     cfg = config.model_cfg("autokl_v2")
-    cfg["args"]["ddconfig"].update(ch=16, ch_mult=[1, 2], num_res_blocks=1)
+    cfg["args"]["ddconfig"].update(ch=32, ch_mult=[1, 2], num_res_blocks=1)
     vae = registry.build_model(cfg)
     vae_params = vae.init(jax.random.PRNGKey(0))
     loss_params = {"lpips": L.init_lpips(jax.random.PRNGKey(1)),
