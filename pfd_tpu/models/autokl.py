@@ -109,6 +109,8 @@ class AutoencoderKL:
         self.out_ch = ddconfig["out_ch"]
         self.z_channels = ddconfig["z_channels"]
         self.double_z = ddconfig.get("double_z", True)
+        # spatial down-factor f = 2^(levels-1); 8 for the production config
+        self.downsample_factor = 2 ** (len(self.ch_mult) - 1)
 
     # ---- init ------------------------------------------------------------
 
