@@ -160,6 +160,119 @@ class CLIPImageContextEncoder:
         return self._encode_pixels(params, pixels, vtoken_mask)
 
 
+# ---------------------------------------------------------------------------
+# OpenCLIP text encoders (SD-2.x conditioning path)
+# ---------------------------------------------------------------------------
+
+def _openclip_text_transformer(params, tokens, *, heads, layers_to_run):
+    """OpenCLIP text tower forward (reference clip.py:327-346): causal-masked
+    pre-norm transformer over BPE tokens. Params mirror open_clip state-dict
+    names so released checkpoints convert mechanically."""
+    from pfd_tpu.ops import nn as pnn
+
+    tok_emb = params["token_embedding"]["weight"]
+    x = tok_emb[tokens] + params["positional_embedding"]
+    n_ctx = x.shape[1]
+    causal = jnp.triu(jnp.full((n_ctx, n_ctx), -jnp.inf), k=1)[None, None]
+
+    for i in range(layers_to_run):
+        p = params["transformer"]["resblocks"][str(i)]
+        h = pnn.layer_norm(x, p["ln_1"])
+        h = pnn.torch_mha(h, h, p["attn"], heads, bias=causal)
+        x = x + h
+        h = pnn.layer_norm(x, p["ln_2"])
+        h = pnn.linear(h, p["mlp"]["c_fc"])
+        h = h * jax.nn.sigmoid(1.702 * h)  # open_clip QuickGELU
+        x = x + pnn.linear(h, p["mlp"]["c_proj"])
+    return x
+
+
+def _openclip_tokenize(texts, max_length=77):
+    """BPE-tokenize with the CLIP vocab (open_clip.tokenize equivalent via the
+    HF CLIPTokenizer — same BPE merges; needs a local tokenizer checkout)."""
+    from transformers import CLIPTokenizer
+
+    tok = CLIPTokenizer.from_pretrained("openai/clip-vit-large-patch14")
+    enc = tok(list(texts), truncation=True, max_length=max_length,
+              padding="max_length", return_tensors="np")
+    return enc["input_ids"]
+
+
+@registry.register("openclip_text_context_encoder_sdv2")
+class OpenCLIPTextEncoderSDv2:
+    """SD-2.x text conditioning: ln_final of the last/penultimate layer
+    (reference clip.py:288-348)."""
+
+    def __init__(self, arch="ViT-H-14", version=None, max_length=77,
+                 layer="last", num_layers=24, width=1024, heads=16,
+                 policy=None, **kw):
+        assert layer in ("last", "penultimate")
+        self.max_length = max_length
+        self.num_layers = num_layers
+        self.width = width
+        self.heads = heads
+        self.layer_idx = 0 if layer == "last" else 1
+
+    def encode(self, params, text_or_tokens):
+        tokens = (_openclip_tokenize(text_or_tokens, self.max_length)
+                  if isinstance(text_or_tokens[0], str) else
+                  np.asarray(text_or_tokens))
+        x = _openclip_text_transformer(
+            params, jnp.asarray(tokens), heads=self.heads,
+            layers_to_run=self.num_layers - self.layer_idx)
+        from pfd_tpu.ops import nn as pnn
+
+        return pnn.layer_norm(x, params["ln_final"])
+
+
+@registry.register("openclip_text_context_encoder")
+class OpenCLIPTextEncoder(OpenCLIPTextEncoderSDv2):
+    """Projected + eot-pooled-norm-scaled variant (reference clip.py:350-398)."""
+
+    def encode(self, params, text_or_tokens):
+        tokens = (_openclip_tokenize(text_or_tokens, self.max_length)
+                  if isinstance(text_or_tokens[0], str) else
+                  np.asarray(text_or_tokens))
+        tokens = np.asarray(tokens)
+        x = _openclip_text_transformer(params, jnp.asarray(tokens),
+                                       heads=self.heads,
+                                       layers_to_run=self.num_layers)
+        from pfd_tpu.ops import nn as pnn
+
+        x = pnn.layer_norm(x, params["ln_final"])
+        proj = params["text_projection"]
+        eot = tokens.argmax(axis=-1)
+        x_pool = x[jnp.arange(x.shape[0]), eot] @ proj
+        x = x @ proj
+        return x / jnp.linalg.norm(x_pool, axis=1, keepdims=True)[:, None, :]
+
+
+def init_openclip_text(key, num_layers=24, width=1024, heads=16, vocab=49408,
+                       n_ctx=77, embed_dim=1024, dtype=jnp.float32):
+    """Random-init OpenCLIP text tower (tests; production loads checkpoints)."""
+    from pfd_tpu.ops import nn as pnn
+
+    keys = iter(jax.random.split(key, 4 * num_layers + 8))
+    blocks = {}
+    for i in range(num_layers):
+        blocks[str(i)] = {
+            "ln_1": pnn.init_norm(width, dtype),
+            "attn": {"in_proj": {"kernel": pnn.init_linear(next(keys), width, 3 * width, dtype)["kernel"],
+                                 "bias": jnp.zeros((3 * width,), dtype)},
+                     "out_proj": pnn.init_linear(next(keys), width, width, dtype)},
+            "ln_2": pnn.init_norm(width, dtype),
+            "mlp": {"c_fc": pnn.init_linear(next(keys), width, 4 * width, dtype),
+                    "c_proj": pnn.init_linear(next(keys), 4 * width, width, dtype)},
+        }
+    return {
+        "token_embedding": {"weight": jax.random.normal(next(keys), (vocab, width), dtype) * 0.02},
+        "positional_embedding": jax.random.normal(next(keys), (n_ctx, width), dtype) * 0.01,
+        "transformer": {"resblocks": blocks},
+        "ln_final": pnn.init_norm(width, dtype),
+        "text_projection": jax.random.normal(next(keys), (width, embed_dim), dtype) * 0.02,
+    }
+
+
 @registry.register("clip_image_context_encoder_position_agnostic")
 class CLIPImageContextEncoderPA(CLIPImageContextEncoder):
     """Position-agnostic variant: grid position embeddings replaced by their
