@@ -247,6 +247,157 @@ class OpenCLIPTextEncoder(OpenCLIPTextEncoderSDv2):
         return x / jnp.linalg.norm(x_pool, axis=1, keepdims=True)[:, None, :]
 
 
+def _split_custom_tokens(all_tokens, num_regular, texpand=1):
+    """Split mixed token ids into (regular, custom, mask) triples, expanding
+    each custom id into `texpand` consecutive slots (clip.py:511-519, 642-660)."""
+    regular, custom, mask = [], [], []
+    for tokens in all_tokens:
+        r, c, m = [], [], []
+        for ti in tokens:
+            if ti < num_regular:
+                r.append(ti); c.append(0); m.append(0)
+            else:
+                for ii in range(texpand):
+                    r.append(0)
+                    c.append((ti - num_regular) * texpand + ii)
+                    m.append(1)
+        regular.append(r); custom.append(c); mask.append(m)
+    return regular, custom, mask
+
+
+def _pad_rows(rows, length, pad=0, eot=None):
+    out = np.full((len(rows), length), pad, np.int32)
+    for i, r in enumerate(rows):
+        r = list(r)[:length]
+        if eot is not None and len(r) == length:
+            r[-1] = eot
+        out[i, :len(r)] = r
+    return out
+
+
+class _CustomizedTokenizerMixin:
+    """Shared tokenize for the customized-token variants: HF CLIPTokenizer
+    with added special tokens stands in for open_clip.SimpleTokenizer
+    (same BPE; added ids start at the regular vocab size)."""
+
+    def _tokenizer(self):
+        if getattr(self, "_tok", None) is None:
+            from transformers import CLIPTokenizer
+
+            self._tok = CLIPTokenizer.from_pretrained(
+                getattr(self, "tokenizer_version",
+                        "openai/clip-vit-large-patch14"))
+            self.num_regular_tokens = len(self._tok)
+            self._tok.add_tokens(list(self.customized_tokens))
+        return self._tok
+
+    def tokenize(self, texts, texpand=1):
+        if isinstance(texts, str):
+            texts = [texts]
+        tok = self._tokenizer()
+        all_tokens = [tok(t)["input_ids"] for t in texts]
+        r, c, m = _split_custom_tokens(all_tokens, self.num_regular_tokens,
+                                       texpand)
+        eot = tok.eos_token_id
+        return (_pad_rows(r, self.max_length, eot=eot),
+                _pad_rows(c, self.max_length),
+                _pad_rows(m, self.max_length))
+
+
+@registry.register("openclip_text_context_encoder_sdv2_customized_tokenizer_v1")
+class OpenCLIPCustomTokenizerV1(OpenCLIPTextEncoderSDv2, _CustomizedTokenizerMixin):
+    """Custom tokens replace the transformer OUTPUT at their positions with
+    learned embeddings (clip.py:494-543)."""
+
+    def __init__(self, customized_tokens, *args, **kw):
+        super().__init__(*args, **kw)
+        self.customized_tokens = ([customized_tokens]
+                                  if isinstance(customized_tokens, str)
+                                  else list(customized_tokens))
+
+    def init_custom(self, key, embedding_dim):
+        return {"customized_token_embedding": {"weight": jax.random.normal(
+            key, (len(self.customized_tokens), embedding_dim)) * 0.02}}
+
+    def encode(self, params, text):
+        reg, cus, mask = self.tokenize(text)
+        z0 = super().encode(params, reg)
+        z1 = params["customized_token_embedding"]["weight"][jnp.asarray(cus)]
+        m = jnp.asarray(mask, z0.dtype)[:, :, None]
+        return z0 * (1 - m) + z1 * m
+
+
+@registry.register("openclip_text_context_encoder_sdv2_customized_tokenizer_v2")
+class OpenCLIPCustomTokenizerV2(OpenCLIPTextEncoderSDv2, _CustomizedTokenizerMixin):
+    """Custom tokens inject learned embeddings at the transformer INPUT
+    (clip.py:544-601)."""
+
+    texpand = 1
+
+    def __init__(self, customized_tokens, *args, **kw):
+        super().__init__(*args, **kw)
+        self.customized_tokens = ([customized_tokens]
+                                  if isinstance(customized_tokens, str)
+                                  else list(customized_tokens))
+
+    def init_custom(self, key, embedding_dim):
+        n = len(self.customized_tokens) * self.texpand
+        return {"customized_token_embedding": {"weight": jax.random.normal(
+            key, (n, embedding_dim)) * 0.02}}
+
+    def encode(self, params, text):
+        from pfd_tpu.ops import nn as pnn
+
+        reg, cus, mask = self.tokenize(text, self.texpand)
+        tok_emb = params["token_embedding"]["weight"]
+        x0 = tok_emb[jnp.asarray(reg)]
+        x1 = params["customized_token_embedding"]["weight"][jnp.asarray(cus)]
+        m = jnp.asarray(mask, x0.dtype)[:, :, None]
+        x = x0 * (1 - m) + x1 * m
+        x = x + params["positional_embedding"][:x.shape[1]]
+        n_ctx = x.shape[1]
+        causal = jnp.triu(jnp.full((n_ctx, n_ctx), -jnp.inf), k=1)[None, None]
+        for i in range(self.num_layers - self.layer_idx):
+            p = params["transformer"]["resblocks"][str(i)]
+            h = pnn.layer_norm(x, p["ln_1"])
+            h = pnn.torch_mha(h, h, p["attn"], self.heads, bias=causal)
+            x = x + h
+            h = pnn.layer_norm(x, p["ln_2"])
+            h = pnn.linear(h, p["mlp"]["c_fc"])
+            h = h * jax.nn.sigmoid(1.702 * h)
+            x = x + pnn.linear(h, p["mlp"]["c_proj"])
+        return pnn.layer_norm(x, params["ln_final"])
+
+
+@registry.register("openclip_text_context_encoder_sdv2_customized_tokenizer_v3")
+class OpenCLIPCustomTokenizerV3(OpenCLIPCustomTokenizerV2):
+    """V2 with each custom token expanded to `texpand` learned slots and
+    optional LoRA on the tower (clip.py:609-660; the reference's LoRA import
+    is a missing module there — pfd_tpu.training.lora is the working one)."""
+
+    def __init__(self, customized_tokens, texpand=4, lora_rank=None,
+                 lora_bias_trainable=True, *args, **kw):
+        super().__init__(customized_tokens, *args, **kw)
+        self.texpand = texpand
+        self.lora_rank = lora_rank
+
+    def init_lora(self, key, params):
+        from pfd_tpu.training import lora
+
+        assert self.lora_rank is not None
+        match = lambda names: ("resblocks" in names
+                               and names[-2] in ("out_proj", "c_fc", "c_proj",
+                                                 "in_proj"))
+        return lora.init_for_kernels(key, params, match, self.lora_rank)
+
+    def encode(self, params, text, adapters=None):
+        if adapters is not None:
+            from pfd_tpu.training import lora
+
+            params = lora.merge(params, adapters)
+        return super().encode(params, text)
+
+
 def init_openclip_text(key, num_layers=24, width=1024, heads=16, vocab=49408,
                        n_ctx=77, embed_dim=1024, dtype=jnp.float32):
     """Random-init OpenCLIP text tower (tests; production loads checkpoints)."""
