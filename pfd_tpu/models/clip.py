@@ -160,6 +160,112 @@ class CLIPImageContextEncoder:
         return self._encode_pixels(params, pixels, vtoken_mask)
 
 
+def hf_clip_text_forward(params, input_ids=None, inputs_embeds=None,
+                         act="quick_gelu", heads=12):
+    """HF CLIP text tower forward from a FlaxCLIPTextModel param tree —
+    needed where the embedding layer must be customized (the reference
+    monkey-patches embeddings.forward, clip.py:717-733; here the tower is a
+    plain function so injection is just building inputs_embeds)."""
+    from pfd_tpu.ops import nn as pnn
+
+    tm = params["text_model"]
+    if inputs_embeds is None:
+        inputs_embeds = tm["embeddings"]["token_embedding"]["embedding"][input_ids]
+    n_ctx = inputs_embeds.shape[1]
+    pos = tm["embeddings"]["position_embedding"]["embedding"][:n_ctx]
+    x = inputs_embeds + pos
+    causal = jnp.triu(jnp.full((n_ctx, n_ctx), -jnp.inf), k=1)[None, None]
+
+    def mha(p, h):
+        q = pnn.split_heads(pnn.linear(h, p["q_proj"]), heads)
+        k = pnn.split_heads(pnn.linear(h, p["k_proj"]), heads)
+        v = pnn.split_heads(pnn.linear(h, p["v_proj"]), heads)
+        scale = (q.shape[-1]) ** -0.5
+        from pfd_tpu.ops.nn import dot_product_attention, merge_heads
+
+        o = dot_product_attention(q, k, v, scale=scale, bias=causal)
+        return pnn.linear(merge_heads(o), p["out_proj"])
+
+    nlayers = len(tm["encoder"]["layers"])
+    for i in range(nlayers):
+        p = tm["encoder"]["layers"][str(i)]
+        h = pnn.layer_norm(x, p["layer_norm1"])
+        x = x + mha(p["self_attn"], h)
+        h = pnn.layer_norm(x, p["layer_norm2"])
+        h = pnn.linear(h, p["mlp"]["fc1"])
+        h = (h * jax.nn.sigmoid(1.702 * h)) if act == "quick_gelu" \
+            else jax.nn.gelu(h, approximate=False)
+        x = x + pnn.linear(h, p["mlp"]["fc2"])
+    return pnn.layer_norm(x, tm["final_layer_norm"])
+
+
+@registry.register("clip_text_sdv1_customized_embedding")
+class CLIPTextSD1CE:
+    """SD-v1 CLIP text encoder with customized embeddings: a `<new_token>`
+    marker in the prompt expands into a run of learned token embeddings
+    injected at the embedding layer (reference clip.py:665-788;
+    'token_embedding' mode — the only one the reference implements)."""
+
+    special_token = "<new_token>"
+
+    def __init__(self, replace_info="token_embedding|4",
+                 version="openai/clip-vit-large-patch14", max_length=77,
+                 policy=None, **kw):
+        rtype, rpara = replace_info.split("|")
+        assert rtype == "token_embedding", \
+            "only token_embedding replacement is implemented (as in the reference)"
+        self.ce_num = int(rpara)
+        self.version = version
+        self.max_length = max_length
+        self._tok = self._model = None
+
+    def _load(self):
+        if self._model is None:
+            self._tok, self._model = _lazy_flax_clip(self.version, "text_only")
+
+    def init(self, key, ce_dim=768):
+        self._load()
+        params = dict(self._model.params)
+        params["cembedding"] = {"weight": jax.random.normal(
+            key, (self.ce_num, ce_dim)) * 0.02}
+        return params
+
+    def tokenize(self, text):
+        """Expand the marker into ce_num placeholder slots (clip.py:747-788)."""
+        self._load()
+        if isinstance(text, str):
+            text = [text]
+        bos = "<|startoftext|>"
+        text = [t.replace(self.special_token, bos) for t in text]
+        enc = self._tok(text, truncation=True, max_length=self.max_length,
+                        padding="max_length", return_tensors="np")["input_ids"]
+        bosid, eosid = enc[0, 0], enc[0, -1]
+        out, mask = [], []
+        for row in enc:
+            new, m = [], []
+            for ii, t in enumerate(row):
+                if t == bosid and ii != 0:
+                    new.extend(range(self.ce_num))
+                    m.extend([1] * self.ce_num)
+                else:
+                    new.append(int(t))
+                    m.append(0)
+            new, m = new[:self.max_length], m[:self.max_length]
+            new[-1] = int(eosid)
+            out.append(new)
+            mask.append(m)
+        return np.asarray(out, np.int32), np.asarray(mask, np.int32)
+
+    def encode(self, params, text):
+        tokens, mask = self.tokenize(text)
+        tokens_j = jnp.asarray(tokens)
+        m = jnp.asarray(mask)
+        tok_table = params["text_model"]["embeddings"]["token_embedding"]["embedding"]
+        base = tok_table[tokens_j] * (1 - m[:, :, None])
+        custom = params["cembedding"]["weight"][tokens_j * m] * m[:, :, None]
+        return hf_clip_text_forward(params, inputs_embeds=base + custom)
+
+
 # ---------------------------------------------------------------------------
 # OpenCLIP text encoders (SD-2.x conditioning path)
 # ---------------------------------------------------------------------------

@@ -155,20 +155,32 @@ class SeecoderDecoder:
 # PPE_MLP (position-aware PE, SeeCoder-PA)
 # ---------------------------------------------------------------------------
 
-def ppe_mlp(params, h, w, policy, freq_num=20):
-    """Sin/cos grid PE through a 3-layer SiLU MLP (seecoder.py:262-311),
-    inference path (no train-time jitter). Returns (1, h*w, C)."""
+def ppe_mlp(params, h, w, policy, freq_num=20, jitter_rng=None):
+    """Sin/cos grid PE through a 3-layer SiLU MLP (seecoder.py:262-311).
+    ``jitter_rng`` enables the train-time ±0.5 grid perturbation
+    (seecoder.py:292-295); inference uses the centered grid. Returns (1, h*w, C)."""
     minlen = min(h, w)
     twopi = 2 * math.pi
-    hs = (np.arange(h) + 0.5 - h / 2) / minlen * twopi
-    ws = (np.arange(w) + 0.5 - w / 2) / minlen * twopi
-    h_embed, w_embed = np.meshgrid(hs, ws, indexing="ij")
     dim_t = (minlen / 2) ** np.linspace(0, 1, freq_num)
-    pos_h = h_embed[:, :, None] * dim_t
-    pos_w = w_embed[:, :, None] * dim_t
-    pos = np.concatenate([np.sin(pos_h), np.cos(pos_h),
-                          np.sin(pos_w), np.cos(pos_w)], axis=-1).astype(np.float32)
-    x = policy.cast(jnp.asarray(pos))
+    if jitter_rng is not None:
+        ph, pw = jax.random.uniform(jitter_rng, (2,), minval=-0.5, maxval=0.5)
+        hs = (jnp.arange(h) + 0.5 - h / 2 + ph) / minlen * twopi
+        ws = (jnp.arange(w) + 0.5 - w / 2 + pw) / minlen * twopi
+        h_embed, w_embed = jnp.meshgrid(hs, ws, indexing="ij")
+        pos_h = h_embed[:, :, None] * dim_t
+        pos_w = w_embed[:, :, None] * dim_t
+        pos = jnp.concatenate([jnp.sin(pos_h), jnp.cos(pos_h),
+                               jnp.sin(pos_w), jnp.cos(pos_w)], axis=-1)
+    else:
+        hs = (np.arange(h) + 0.5 - h / 2) / minlen * twopi
+        ws = (np.arange(w) + 0.5 - w / 2) / minlen * twopi
+        h_embed, w_embed = np.meshgrid(hs, ws, indexing="ij")
+        pos_h = h_embed[:, :, None] * dim_t
+        pos_w = w_embed[:, :, None] * dim_t
+        pos = jnp.asarray(np.concatenate(
+            [np.sin(pos_h), np.cos(pos_h), np.sin(pos_w), np.cos(pos_w)],
+            axis=-1).astype(np.float32))
+    x = policy.cast(pos)
     mlp = params["mlp"]
     n = max(int(k) for k in mlp) + 1
     for i in range(0, n, 2):

@@ -80,3 +80,48 @@ def test_lora_merge_equals_bypass():
     np.testing.assert_allclose(
         np.asarray(merged["resblocks"]["0"]["attn"]["out_proj"]["kernel"]),
         np.asarray(w), rtol=1e-6)
+
+
+def _tiny_hf_clip_tree(key, vocab=50, width=32, layers=2, heads=4, n_ctx=8):
+    from pfd_tpu.ops import nn as pnn
+    ks = iter(jax.random.split(key, 6 * layers + 4))
+    lyrs = {}
+    for i in range(layers):
+        lyrs[str(i)] = {
+            "self_attn": {n: pnn.init_linear(next(ks), width, width)
+                          for n in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "layer_norm1": pnn.init_norm(width),
+            "layer_norm2": pnn.init_norm(width),
+            "mlp": {"fc1": pnn.init_linear(next(ks), width, width * 4),
+                    "fc2": pnn.init_linear(next(ks), width * 4, width)},
+        }
+    return {"text_model": {
+        "embeddings": {
+            "token_embedding": {"embedding": jax.random.normal(next(ks), (vocab, width)) * 0.02},
+            "position_embedding": {"embedding": jax.random.normal(next(ks), (n_ctx, width)) * 0.01},
+        },
+        "encoder": {"layers": lyrs},
+        "final_layer_norm": pnn.init_norm(width),
+    }}
+
+
+def test_hf_clip_forward_causality_and_injection():
+    from pfd_tpu.models.clip import hf_clip_text_forward
+
+    params = _tiny_hf_clip_tree(jax.random.PRNGKey(0))
+    t1 = np.array([[1, 2, 3, 4, 5, 6, 7, 8]]) % 50
+    t2 = t1.copy(); t2[0, 6] = 9
+    o1 = hf_clip_text_forward(params, jnp.asarray(t1), heads=4)
+    o2 = hf_clip_text_forward(params, jnp.asarray(t2), heads=4)
+    np.testing.assert_allclose(np.asarray(o1)[:, :6], np.asarray(o2)[:, :6],
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(o1)[:, 6:], np.asarray(o2)[:, 6:])
+
+    # embedding injection changes the output from the injected position on
+    emb = params["text_model"]["embeddings"]["token_embedding"]["embedding"]
+    base = emb[jnp.asarray(t1)]
+    injected = base.at[0, 3].set(jnp.ones(32) * 0.5)
+    oi = hf_clip_text_forward(params, inputs_embeds=injected, heads=4)
+    np.testing.assert_allclose(np.asarray(o1)[:, :3], np.asarray(oi)[:, :3],
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(o1)[:, 3:], np.asarray(oi)[:, 3:])
