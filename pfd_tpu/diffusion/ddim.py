@@ -131,8 +131,8 @@ class DDIMSampler:
         return x_final, {"pred_x0": pred_x0s[-1]}
 
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
-                  temperature=1.0, x_type="image", c_type="image",
-                  self_attn_fn=None, encoder_interval=1):
+                  temperature=1.0, noise_dropout=0.0, x_type="image",
+                  c_type="image", self_attn_fn=None, encoder_interval=1):
         """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
 
         encoder_interval > 1 enables encoder propagation (Faster Diffusion,
@@ -225,6 +225,11 @@ class DDIMSampler:
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
             key, nkey = jax.random.split(key)
             noise = sigma * jax.random.normal(nkey, xf.shape, jnp.float32) * temperature
+            if noise_dropout > 0.0:
+                # reference applies dropout to the eta-noise (ddim.py:167-168)
+                key, dkey = jax.random.split(key)
+                keep = jax.random.bernoulli(dkey, 1.0 - noise_dropout, noise.shape)
+                noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
             return x_prev.astype(xt.dtype), key, pred_x0
 

@@ -63,9 +63,11 @@ class UNetPlan:
 
 def build_plan(in_channels, model_channels, out_channels, num_res_blocks,
                attention_resolutions, channel_mult, num_heads, context_dim,
-               num_head_channels=None) -> UNetPlan:
+               num_head_channels=None, with_context=True) -> UNetPlan:
     if isinstance(num_res_blocks, int):
         num_res_blocks = [num_res_blocks] * len(channel_mult)
+    if not with_context:
+        attention_resolutions = ()
 
     def heads_for(ch):
         if num_head_channels is None:
@@ -108,7 +110,8 @@ def build_plan(in_channels, model_channels, out_channels, num_res_blocks,
 
     # middle
     add_d(m_ops, "res", ch, ch)
-    add_c(m_ops, ch)
+    if with_context:
+        add_c(m_ops, ch)
     add_d(m_ops, "res", ch, ch)
 
     # output half
@@ -177,10 +180,12 @@ class UNetModel2DNext:
         self.use_checkpoint = use_checkpoint
         self.model_channels = model_channels
         self.context_dim = context_dim
+        self.parts = tuple(parts) if not isinstance(parts, str) else (parts,)
         self.plan = build_plan(in_channels, model_channels, out_channels,
                                num_res_blocks, tuple(attention_resolutions),
                                tuple(channel_mult), num_heads, context_dim,
-                               num_head_channels)
+                               num_head_channels,
+                               with_context="context" in self.parts)
 
     def init(self, key):
         dtype = self.policy.param_dtype

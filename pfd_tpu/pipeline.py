@@ -166,6 +166,16 @@ class PromptFreeDiffusionPipeline:
     def _ctx_encode_jit(self):
         return jax.jit(lambda params, x: self.net.ctx_encode(params, x, "image"))
 
+    def warmup(self, sizes=((512, 512),), batch=1, with_control=True,
+               steps=None):
+        """AOT-compile (h, w) buckets from the app's 64-multiple grid
+        (app.py:197-207) so first requests don't pay compilation."""
+        steps = steps or self.ddim_steps
+        for h, w in sizes:
+            self._sample_decode_fn(h, w, batch, with_control, steps,
+                                   self.ddim_eta)
+        return sorted(self._jit_cache)
+
     # ---- inference (app.py:212-275) ------------------------------------------
 
     def action_inference(self, im, imctl=None, ctl_method="canny",

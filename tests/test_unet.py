@@ -159,3 +159,17 @@ def test_classic_unet_parity():
                      jnp.asarray(t), jnp.asarray(c))
     assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
                  rtol=2e-3, atol=2e-4, name="classic unet")
+
+
+def test_nocontext_parts():
+    """parts without 'context' -> no context blocks (reference 2d_next
+    parts machinery, openaimodel.py:2616-2619)."""
+    net = registry.get("openai_unet_2d_next")(
+        **dict(TINY, attention_resolutions=[1, 2]), parts=("global", "data"))
+    assert len(net.plan.context_specs) == 0
+    import jax
+    params = net.init(jax.random.PRNGKey(0))
+    assert params["context_blocks"] == {}
+    x = jnp.zeros((1, 8, 8, 4))
+    out = net.apply(params, x, jnp.array([5]), None)
+    assert out.shape == x.shape
