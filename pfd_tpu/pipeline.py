@@ -42,11 +42,14 @@ class PromptFreeDiffusionPipeline:
     def __init__(self, *, policy: Policy | None = None, fp16=True,
                  tag_ctx="SeeCoder", tag_diffuser="Deliberate-v2.0",
                  tag_ctl="canny", pretrained_root=None, seed=0,
-                 with_control=True, self_attn_fn=None):
+                 with_control=True, self_attn_fn=None, config_override=None,
+                 encoder_interval=1):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
         self.self_attn_fn = self_attn_fn
+        self.config_override = config_override  # dict: tests / custom builds
+        self.encoder_interval = encoder_interval  # >1: turbo (output-changing)
         self.ddim_steps = 50
         self.ddim_eta = 0.0
         self.n_sample_image = 1
@@ -68,11 +71,17 @@ class PromptFreeDiffusionPipeline:
     # ---- construction ------------------------------------------------------
 
     def _build_net(self, pa=False):
-        name = "pfd_seecoder_with_controlnet" if self.with_control else "pfd_seecoder"
-        cfg = config.model_cfg(name)
-        if pa:
-            cfg["args"]["ctx_cfg_list"] = [
-                ["image", config.model_cfg("seecoder_pa")]]
+        if self.config_override is not None:
+            import copy
+
+            cfg = copy.deepcopy(self.config_override)
+        else:
+            name = ("pfd_seecoder_with_controlnet" if self.with_control
+                    else "pfd_seecoder")
+            cfg = config.model_cfg(name)
+            if pa:
+                cfg["args"]["ctx_cfg_list"] = [
+                    ["image", config.model_cfg("seecoder_pa")]]
         self.net = registry.get(cfg["type"])(**cfg["args"], policy=self.policy)
 
     # ---- checkpoint hot-swap (app.py:137-195 semantics) ----------------------
@@ -147,16 +156,21 @@ class PromptFreeDiffusionPipeline:
         if key not in self._jit_cache:
             tables = self.sampler.make_tables(steps, eta)
 
+            f = self.net.vae["image"].downsample_factor
+            zc = self.net.vae["image"].embed_dim
+
             def fn(params, rng, c, u, scale, cc):
                 rng, init_rng = jax.random.split(rng)
-                x = jax.random.normal(init_rng, (batch, h // 8, w // 8, 4),
+                x = jax.random.normal(init_rng, (batch, h // f, w // f, zc),
                                       jnp.float32)
                 c_info = {"conditioning": c, "unconditional_conditioning": u,
                           "unconditional_guidance_scale": scale}
                 if has_control:
                     c_info["control"] = cc
-                x, _ = self.sampler.sample_fn(params, rng, x, c_info, tables,
-                                              self_attn_fn=self.self_attn_fn)
+                x, _ = self.sampler.sample_fn(
+                    params, rng, x, c_info, tables,
+                    self_attn_fn=self.self_attn_fn,
+                    encoder_interval=self.encoder_interval)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)
