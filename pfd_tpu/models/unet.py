@@ -320,5 +320,6 @@ class UNetModel2DNext:
         return h
 
 
-# register the classic-layout variant (same plan, sdwebui param layout)
+# register the classic-layout and 0d (vector) variants
 from pfd_tpu.models import unet_classic  # noqa: E402,F401
+from pfd_tpu.models import unet_0d  # noqa: E402,F401

@@ -173,3 +173,30 @@ def test_nocontext_parts():
     x = jnp.zeros((1, 8, 8, 4))
     out = net.apply(params, x, jnp.array([5]), None)
     assert out.shape == x.shape
+
+
+def test_0d_unet_parity():
+    """openai_unet_0d_next (FC/vector diffuser) vs reference, shared weights."""
+    import torch
+    ref_utils.load_reference()
+    from lib.model_zoo.openaimodel import UNetModel0D_Next
+
+    kw = dict(input_channels=24, model_channels=32, output_channels=24,
+              context_dim=64, num_noattn_blocks=(1, 1), channel_mult=(1, 2),
+              second_dim=(2, 2), with_attn=[True, False], num_heads=4)
+    ref_utils.seed_all(6)
+    ref = UNetModel0D_Next(**kw).eval()
+    ref_utils.randomize_params(ref, seed=17)
+    ours = registry.get("openai_unet_0d_next")(**kw)
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
+
+    x = np.random.randn(2, 24).astype(np.float32)
+    t = np.array([3, 977], np.int64)
+    c = np.random.randn(2, 9, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref_unet_walk(ref, torch.from_numpy(x), torch.from_numpy(t),
+                             torch.from_numpy(c))
+    got = ours.apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(c))
+    w = ref_utils.t2n(want)
+    assert_close(got, w.reshape(got.shape), rtol=2e-3, atol=2e-4,
+                 name="0d unet")
