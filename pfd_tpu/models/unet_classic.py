@@ -62,6 +62,42 @@ def _group_classic(plan):
     return input_groups, middle_group, output_groups, out_idx
 
 
+def dual_spatial_transformer(p, x, context, n_heads, policy, which=None,
+                             self_attn_fn=None):
+    """Two-branch SpatialTransformer (reference attention.py:450-540):
+    which==0/1 selects a branch; a float `which` blends both branches'
+    residuals as x0*which + x1*(1-which)."""
+
+    def branch(i, ctx):
+        q = {"norm": p[f"norm_{i}"], "proj_in": p[f"proj_in_{i}"],
+             "transformer_blocks": p[f"transformer_blocks_{i}"],
+             "proj_out": p[f"proj_out_{i}"]}
+        return blocks.spatial_transformer(q, x, ctx, n_heads, policy,
+                                          self_attn_fn=self_attn_fn) - x
+
+    if which == 0:
+        return x + branch(0, context)
+    if which == 1:
+        return x + branch(1, context)
+    x0 = branch(0, context[0])
+    x1 = branch(1, context[1])
+    return x0 * which + x1 * (1 - which) + x
+
+
+def init_dual_spatial_transformer(key, in_channels, n_heads, d_head,
+                                  context_dim, dtype):
+    k0, k1 = jax.random.split(key)
+    p = {}
+    for i, k in zip((0, 1), (k0, k1)):
+        st = blocks.init_spatial_transformer(k, in_channels, n_heads, d_head,
+                                             context_dim, dtype)
+        p[f"norm_{i}"] = st["norm"]
+        p[f"proj_in_{i}"] = st["proj_in"]
+        p[f"transformer_blocks_{i}"] = st["transformer_blocks"]
+        p[f"proj_out_{i}"] = st["proj_out"]
+    return p
+
+
 @registry.register("openai_unet")
 class UNetModelClassic:
     def __init__(self, in_channels, out_channels, model_channels,
@@ -146,7 +182,10 @@ class UNetModelClassic:
         emb = blocks.time_embed(params["time_embed"], timesteps,
                                 self.model_channels, pol.compute_dtype)
         x = pol.cast(x)
-        context = pol.cast(context)
+        if isinstance(context, (list, tuple)):
+            context = [pol.cast(c) for c in context]  # dual-context pair
+        elif context is not None:
+            context = pol.cast(context)
         in_groups, mid, out_groups, out_idx = self.groups
 
         hs, h = [], x
@@ -167,3 +206,31 @@ class UNetModelClassic:
                           norm_dtype=pol.norm_dtype)
         h = nn.silu(h)
         return nn.conv2d(h, params["out"]["2"], padding=1)
+
+
+@registry.register("openai_unet_dual_context")
+class UNetModelDualContext(UNetModelClassic):
+    """Classic-layout UNet whose attention blocks are DualSpatialTransformers
+    (reference openaimodel.py:1621-1947) — the Versatile-Diffusion dual-stream
+    conditioning surface. `which` selects or blends the two context branches."""
+
+    def _init_item(self, key, kind, idx, dtype, emb_ch):
+        if kind == "attn":
+            s = self.plan.context_specs[idx]
+            return init_dual_spatial_transformer(key, s.ch, s.n_heads, s.d_head,
+                                                 self.context_dim, dtype)
+        return super()._init_item(key, kind, idx, dtype, emb_ch)
+
+    def apply(self, params, x, timesteps, context, *, which=0,
+              self_attn_fn=None):
+        self._which = which
+        return super().apply(params, x, timesteps, context,
+                             self_attn_fn=self_attn_fn)
+
+    def _apply_item(self, p, kind, idx, h, emb, context, self_attn_fn):
+        if kind == "attn":
+            s = self.plan.context_specs[idx]
+            return dual_spatial_transformer(p, h, context, s.n_heads,
+                                            self.policy, which=self._which,
+                                            self_attn_fn=self_attn_fn)
+        return super()._apply_item(p, kind, idx, h, emb, context, self_attn_fn)

@@ -200,3 +200,48 @@ def test_0d_unet_parity():
     w = ref_utils.t2n(want)
     assert_close(got, w.reshape(got.shape), rtol=2e-3, atol=2e-4,
                  name="0d unet")
+
+
+def test_dual_context_unet_parity():
+    import torch
+    ref_utils.load_reference()
+    from lib.model_zoo.openaimodel import UNetModelDualContext as RefDual
+
+    kw = dict(image_size=None, in_channels=4, out_channels=4, model_channels=32,
+              attention_resolutions=[1, 2], num_res_blocks=1, channel_mult=[1, 2],
+              num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+              context_dim=64, use_checkpoint=False, legacy=False)
+    ref_utils.seed_all(9)
+    ref = RefDual(**kw).eval()
+    ref_utils.randomize_params(ref, seed=19)
+    ours = registry.get("openai_unet_dual_context")(**kw)
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(ref))
+
+    x = np.random.randn(1, 4, 16, 16).astype(np.float32)
+    t = np.array([55], np.int64)
+    c = np.random.randn(1, 9, 64).astype(np.float32)
+    for which in (0, 1):
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                       context=torch.from_numpy(c), which_attn=which)
+        got = ours.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         jnp.asarray(t), jnp.asarray(c), which=which)
+        assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
+                     rtol=2e-3, atol=2e-4, name=f"dual unet which={which}")
+
+    # float which blends both branches over a context pair
+    c2 = np.random.randn(1, 7, 64).astype(np.float32)
+    class CtxList(list):
+        # reference dual forward calls context.dtype even for list contexts
+        # (openaimodel.py:1921) — a latent bug; shim it
+        dtype = torch.float32
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), timesteps=torch.from_numpy(t),
+                   context=CtxList([torch.from_numpy(c), torch.from_numpy(c2)]),
+                   which_attn=0.3)
+    got = ours.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     jnp.asarray(t), [jnp.asarray(c), jnp.asarray(c2)],
+                     which=0.3)
+    assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
+                 rtol=2e-3, atol=2e-4, name="dual unet blend")
