@@ -172,6 +172,24 @@ class PromptFreeDiffusion:
         return self.diffuser[x_type].apply_decoder(
             merged, h, hs, timesteps, c_info["c"], self_attn_fn=self_attn_fn)
 
+    def check_diffuser(self) -> bool:
+        """All diffusers must share one layer-order program (pfd.py:297-304)
+        — the invariant that makes checkpoint hot-swap recompile-free."""
+        plans = [d.plan.ops for d in self.diffuser.values() if hasattr(d, "plan")]
+        return all(p == plans[0] for p in plans) if plans else True
+
+    @staticmethod
+    def print_debug_checksum(params):
+        """Σ|θ| of the first leaf per top-level group (pfd.py:449-455) —
+        manual weight-identity spot checks."""
+        out = {}
+        for group, tree in params.items():
+            leaves = jax.tree.leaves(tree)
+            if leaves:
+                out[group] = float(jnp.abs(leaves[0].astype(jnp.float32)).sum())
+        print("debug checksum:", out)
+        return out
+
     # ---- multicontext -------------------------------------------------------
 
     def apply_model_multicontext(self, params, x_info, timesteps, c_info_list,

@@ -323,3 +323,4 @@ class UNetModel2DNext:
 # register the classic-layout and 0d (vector) variants
 from pfd_tpu.models import unet_classic  # noqa: E402,F401
 from pfd_tpu.models import unet_0d  # noqa: E402,F401
+from pfd_tpu.models import unet_variants  # noqa: E402,F401
