@@ -234,3 +234,23 @@ class UNetModelDualContext(UNetModelClassic):
                                             self.policy, which=self._which,
                                             self_attn_fn=self_attn_fn)
         return super()._apply_item(p, kind, idx, h, emb, context, self_attn_fn)
+
+
+@registry.register("openai_unet_2d")
+class UNetModel2D(UNetModelClassic):
+    """VD-style arg surface over the classic layout (openaimodel.py:1948-2083):
+    per-level `with_attn` flags and `num_noattn_blocks` instead of
+    attention_resolutions — translated onto the same static plan."""
+
+    def __init__(self, input_channels, model_channels, output_channels,
+                 context_dim=768, num_noattn_blocks=(2, 2, 2, 2),
+                 channel_mult=(1, 2, 4, 8), with_attn=(True, True, True, False),
+                 num_heads=8, use_checkpoint=True, policy: Policy = FP32, **kw):
+        attn_res = [2 ** lv for lv, w in enumerate(with_attn) if w]
+        super().__init__(in_channels=input_channels,
+                         out_channels=output_channels,
+                         model_channels=model_channels,
+                         attention_resolutions=attn_res,
+                         num_res_blocks=list(num_noattn_blocks),
+                         channel_mult=channel_mult, num_heads=num_heads,
+                         context_dim=context_dim, policy=policy)
