@@ -121,4 +121,11 @@ def preprocess(x: np.ndarray, method: str = "canny", size=None, params=None,
             raise ValueError(sub)
         return _to_rgb3(make_scribble(y))
 
+    if method == "seg":
+        # parity note: the reference's seg annotator imports a uniformer
+        # module that does not exist in its repo (controlnet.py:489-497 would
+        # ImportError); the capability is absent on both sides.
+        raise NotImplementedError(
+            "seg (uniformer) is unavailable — the reference's uniformer "
+            "module is missing from its repo as well")
     raise ValueError(f"unknown preprocess method {method!r}")

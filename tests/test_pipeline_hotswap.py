@@ -10,7 +10,16 @@ import pytest
 from pfd_tpu.io.convert import pytree_to_torch_sd
 from pfd_tpu.pipeline import PromptFreeDiffusionPipeline
 from tests import ref_utils
-from tests.test_dp_serving import TINY_UNET, TINY_VAE, TINY_SEECODER
+from tests.test_dp_serving import TINY_UNET, TINY_SEECODER
+
+# f=8 VAE (4 levels) so the ControlNet hint pyramid (fixed 8x, matching the
+# production AutoKL) aligns with the latent grid
+TINY_VAE = {"type": "autoencoderkl",
+            "args": {"embed_dim": 4,
+                     "ddconfig": {"double_z": True, "z_channels": 4,
+                                  "resolution": 64, "in_channels": 3,
+                                  "out_ch": 3, "ch": 32, "ch_mult": [1, 1, 2, 2],
+                                  "num_res_blocks": 1, "attn_resolutions": []}}}
 
 TINY_CTL = {"type": "controlnet",
             "args": dict(in_channels=4, hint_channels=3, model_channels=32,
