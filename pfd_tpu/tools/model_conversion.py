@@ -297,3 +297,42 @@ def _default_plan() -> UNetPlan:
                       tuple(args["attention_resolutions"]),
                       tuple(args["channel_mult"]), args["num_heads"],
                       args["context_dim"])
+
+
+def _cli():
+    """Offline converter CLI (parity with tools/model_conversion.py:697-715
+    and tools/get_controlnet.py): sdwebui/HF checkpoints -> pfd layout,
+    controlnet slimming."""
+    import argparse
+
+    import numpy as np
+
+    from pfd_tpu.io.loader import load_sd_file
+
+    ap = argparse.ArgumentParser("pfd_tpu.tools.model_conversion")
+    ap.add_argument("mode", choices=["sdwebui_diffuser", "hf_diffuser",
+                                     "sdwebui_vae", "sdwebui_ctx",
+                                     "slim_controlnet"])
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--reverse", action="store_true")
+    args = ap.parse_args()
+
+    sd = load_sd_file(args.src)
+    mover = {
+        "sdwebui_diffuser": sdwebui_diffuser_to_pfd_mover(),
+        "hf_diffuser": sdhuggingface_diffuser_to_pfd_mover(),
+        "sdwebui_vae": sdwebui_vae_to_pfd_mover(),
+        "sdwebui_ctx": sdwebui_ctx_to_pfd_mover(),
+        "slim_controlnet": slim_controlnet,
+    }[args.mode]
+    new = mover(sd) if args.mode == "slim_controlnet" else \
+        mover(sd, reverse=args.reverse)
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in new.items()}, args.dst)
+    print(f"wrote {len(new)} tensors to {args.dst}")
+
+
+if __name__ == "__main__":
+    _cli()
