@@ -77,10 +77,12 @@ def make_train_step(model, optimizer, mesh, *, x_type="image", c_type="image",
             out_shardings=None)(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
+    batch_shard = mesh_lib.batch_only_sharding(mesh)
     jitted = jax.jit(
         step_fn,
-        in_shardings=(None, jax.tree.map(lambda _: data_shard, {
-            "x0": 0, "cond": 0, "t": 0, "noise": 0}), repl),
+        in_shardings=(None, {
+            "x0": data_shard, "cond": batch_shard,
+            "t": batch_shard, "noise": data_shard}, repl),
         out_shardings=None,
         donate_argnums=(0,) if donate else (),
     )
