@@ -41,6 +41,15 @@ def load_sd_file(path: str) -> dict[str, np.ndarray]:
     raise ValueError(f"file type must be .ckpt/.pth/.safetensors, got {path}")
 
 
+def load_tensor_file(path: str) -> np.ndarray:
+    """Load a raw-tensor .pth (e.g. assets/anime_ug.pth, the anime negative
+    context the reference torch.loads at app.py:237) -> numpy array."""
+    import torch
+
+    t = torch.load(path, map_location="cpu", weights_only=False)
+    return t.float().numpy()
+
+
 def _strip_schedule(sd: dict) -> dict:
     return {k: v for k, v in sd.items() if not (
         k in SCHEDULE_BUFFERS or any(k == f"{b}" for b in SCHEDULE_BUFFERS))}

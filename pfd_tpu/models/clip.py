@@ -10,9 +10,11 @@ here — Flax modules are pure functions, so no forward-patching is needed.
 Weights load from a local path or HF id via ``version=`` (this build has no
 network egress; point ``version`` at a downloaded checkout).
 
-OpenCLIP (SD-2.x text) variants are registered but require converted OpenCLIP
-weights; their customized-tokenizer machinery (clip.py:494-664) is scheduled
-for a later round.
+OpenCLIP (SD-2.x text) variants are registered below, including the full
+customized-tokenizer machinery (reference clip.py:494-664: v1 token-embedding
+injection, v2 per-token replacement, v3 multi-vector tokens, and the SD1CE
+customized-embedding encoder). Their weights likewise load from a local
+checkout via ``version=``.
 """
 
 from __future__ import annotations

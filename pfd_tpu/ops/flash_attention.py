@@ -26,7 +26,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale, s_valid, bk):
+                  scale, s_valid, s_pad, bk):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -41,9 +41,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
-    # mask padded keys of the last block
+    # mask padded keys (padding is to s_pad = round_up(s, max(bq, bk)), so
+    # gate on s_pad != s_valid — s % bk == 0 alone does not imply no padding)
     first_key = j * bk
-    if s_valid % bk != 0:
+    if s_pad != s_valid:
         key_ids = first_key + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < s_valid, s, NEG_INF)
 
@@ -89,7 +90,8 @@ def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
     qf, kf, vf = prep(q), prep(k), prep(v)
 
     grid = (b * h, s_pad // bq, s_pad // bk)
-    kernel = functools.partial(_flash_kernel, scale=scale, s_valid=s, bk=bk)
+    kernel = functools.partial(_flash_kernel, scale=scale, s_valid=s,
+                               s_pad=s_pad, bk=bk)
     interpret = jax.default_backend() == "cpu"  # tests run on the CPU mesh
 
     out = pl.pallas_call(

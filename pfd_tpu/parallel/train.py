@@ -51,6 +51,11 @@ def make_train_step(model, optimizer, mesh, *, x_type="image", c_type="image",
     """
     data_shard = mesh_lib.data_sharding(mesh)
     repl = mesh_lib.replicated(mesh)
+    if train_mask is not None:
+        # the optimizer must never see frozen params: adamw's decoupled weight
+        # decay would decay them toward zero even with zeroed grads (the
+        # reference instead excludes them from the optimizer entirely)
+        optimizer = optax.masked(optimizer, train_mask)
 
     def loss_fn(params, batch):
         loss, metrics = model.p_losses(
@@ -62,6 +67,8 @@ def make_train_step(model, optimizer, mesh, *, x_type="image", c_type="image",
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
         if train_mask is not None:
+            # zero frozen grads so grad_norm reflects trainable params only
+            # (updates to them are already blocked by optax.masked above)
             grads = jax.tree.map(lambda g, m: g if m else jnp.zeros_like(g),
                                  grads, train_mask)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)

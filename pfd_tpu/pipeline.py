@@ -102,9 +102,11 @@ class PromptFreeDiffusionPipeline:
             self._build_net(pa=pa)
             self.sampler = DDIMSampler(self.net)
             self._jit_cache.clear()
-            if pa:
-                self.params["ctx"]["image"] = self.net.ctx["image"].init(
-                    jax.random.PRNGKey(0))
+            # re-init whenever PA-ness changes (either direction): the old
+            # ctx pytree's shape no longer matches the rebuilt module, and a
+            # missing checkpoint file below must not leave it inconsistent
+            self.params["ctx"]["image"] = self.net.ctx["image"].init(
+                jax.random.PRNGKey(0))
         path = zoo.resolve(zoo.CTXENCODER_PATH.get(tag), self.root)
         if path is not None and _exists(path):
             sd = loader.load_sd_file(path)
@@ -190,6 +192,26 @@ class PromptFreeDiffusionPipeline:
                                    self.ddim_eta)
         return sorted(self._jit_cache)
 
+    def negative_context(self, c, anime_ug_path=None):
+        """Unconditional context: zeros, except the anime SeeCoder which uses
+        the anime_ug negative embedding zero-padded to the token count
+        (app.py:236-241). When no path is given, ``assets/anime_ug.pth`` is
+        auto-resolved under pretrained_root, matching the reference default."""
+        if self.tag_ctx != "SeeCoder-Anime":
+            return jnp.zeros_like(c)
+        if anime_ug_path is None:
+            cand = zoo.resolve(zoo.ANIME_UG_PATH, self.root)
+            if _exists(cand):
+                anime_ug_path = cand
+        if anime_ug_path is None:
+            return jnp.zeros_like(c)
+        ug = loader.load_tensor_file(anime_ug_path) if isinstance(anime_ug_path, str) \
+            else anime_ug_path
+        ug = np.asarray(ug)[None]
+        pad = c.shape[1] - ug.shape[1]
+        ug = np.concatenate([ug, np.zeros((1, pad, ug.shape[2]), ug.dtype)], 1)
+        return jnp.asarray(jnp.tile(jnp.asarray(ug), (c.shape[0], 1, 1)), c.dtype)
+
     # ---- inference (app.py:212-275) ------------------------------------------
 
     def action_inference(self, im, imctl=None, ctl_method="canny",
@@ -210,14 +232,7 @@ class PromptFreeDiffusionPipeline:
         craw = jnp.asarray(_to_array(im))[None]
         c = self._ctx_encode_jit(self.params, craw)
         c = jnp.tile(c, (n, 1, 1))
-        u = jnp.zeros_like(c)
-        if self.tag_ctx == "SeeCoder-Anime" and anime_ug_path is not None:
-            ug = loader.load_sd_file(anime_ug_path) if isinstance(anime_ug_path, str) \
-                else anime_ug_path
-            ug = np.asarray(ug)[None]
-            pad = c.shape[1] - ug.shape[1]
-            ug = np.concatenate([ug, np.zeros((1, pad, ug.shape[2]), ug.dtype)], 1)
-            u = jnp.asarray(ug, c.dtype)
+        u = self.negative_context(c, anime_ug_path)
 
         cc = None
         if self.tag_ctl != "none" and imctl is not None:

@@ -57,23 +57,92 @@ def _load_image(path):
     return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
 
 
+def _smoke_config():
+    """Tiny pfd_with_control config for --tiny-smoke: exercises the full
+    record/compare/SSIM plumbing with random weights at 64x64 in CI, where
+    the published checkpoints are unavailable."""
+    unet = {"type": "openai_unet_2d_next",
+            "args": dict(in_channels=4, out_channels=4, model_channels=32,
+                         attention_resolutions=[1, 2], num_res_blocks=[1, 1],
+                         channel_mult=[1, 2], num_heads=8, context_dim=768)}
+    seecoder = {"type": "seecoder",
+                "args": {"imencoder_cfg": {"type": "swin", "args": dict(
+                             embed_dim=32, depths=[1, 1, 1, 1],
+                             num_heads=[1, 2, 4, 8], window_size=4,
+                             ape=False, patch_norm=True)},
+                         "imdecoder_cfg": {"type": "seecoder_decoder", "args": dict(
+                             inchannels={"res3": 64, "res4": 128, "res5": 256},
+                             trans_input_tags=["res3", "res4", "res5"],
+                             trans_dim=768, trans_dropout=0.0, trans_nheads=8,
+                             trans_feedforward_dim=64, trans_num_layers=1)},
+                         "qtransformer_cfg": {"type": "seecoder_query_transformer",
+                             "args": dict(in_channels=768, hidden_dim=768,
+                                          num_queries=[4, 16], nheads=8,
+                                          num_layers=3, feedforward_dim=64,
+                                          pre_norm=False, num_feature_levels=3,
+                                          enforce_input_project=False,
+                                          with_fea2d_pos=False)}}}
+    vae = {"type": "autoencoderkl",
+           "args": {"embed_dim": 4,
+                    "ddconfig": {"double_z": True, "z_channels": 4,
+                                 "resolution": 64, "in_channels": 3,
+                                 "out_ch": 3, "ch": 32, "ch_mult": [1, 1, 2, 2],
+                                 "num_res_blocks": 1, "attn_resolutions": []}}}
+    ctl = {"type": "controlnet",
+           "args": dict(in_channels=4, hint_channels=3, model_channels=32,
+                        attention_resolutions=[1, 2], num_res_blocks=1,
+                        channel_mult=[1, 2], num_heads=8, context_dim=768)}
+    return {"type": "pfd_with_control",
+            "args": {"vae_cfg_list": [["image", vae]],
+                     "ctx_cfg_list": [["image", seecoder]],
+                     "diffuser_cfg_list": [["image", unet]],
+                     "latent_scale_factor": {"image": 0.18215},
+                     "beta_linear_start": 0.00085, "beta_linear_end": 0.012,
+                     "timesteps": 1000, "ctl_cfg": ctl}}
+
+
 def run(assets_root, pretrained_root, goldens_dir, record=False,
-        ssim_gate=0.95, cases=None):
+        ssim_gate=0.95, cases=None, tiny_smoke=False):
     from pfd_tpu.pipeline import PromptFreeDiffusionPipeline
     from pfd_tpu.training.evaluator import ssim
 
     os.makedirs(goldens_dir, exist_ok=True)
-    pipe = PromptFreeDiffusionPipeline(fp16=True,
-                                       pretrained_root=pretrained_root)
+    if tiny_smoke:
+        pipe = PromptFreeDiffusionPipeline(fp16=False,
+                                           config_override=_smoke_config(),
+                                           pretrained_root=pretrained_root)
+        pipe.ddim_steps = 2
+        if cases is None:
+            cases = [0, 7]  # one regular + one SeeCoder-Anime (ug-pad path)
+    else:
+        pipe = PromptFreeDiffusionPipeline(fp16=True,
+                                           pretrained_root=pretrained_root)
+    # the reference auto-loads the anime negative context from its assets
+    # tree (app.py:236-241); resolve it there for the anime-zoo cases
+    anime_ug = None
+    if tiny_smoke:
+        anime_ug = np.random.default_rng(99).standard_normal(
+            (4, 768)).astype(np.float32)
+    elif assets_root is not None:
+        cand = os.path.join(assets_root, "assets/anime_ug.pth")
+        anime_ug = cand if os.path.exists(cand) else None
     results = {}
     for i, (im_p, ctl_p, method, do_pre, h, w, scale, seed,
             ctx, diff, ctl) in enumerate(EXAMPLES):
         if cases is not None and i not in cases:
             continue
-        im = _load_image(os.path.join(assets_root, im_p))
-        imctl = _load_image(os.path.join(assets_root, ctl_p))
+        if tiny_smoke:
+            rng = np.random.default_rng(1000 + i)
+            h = w = 64
+            im = rng.random((64, 64, 3)).astype(np.float32)
+            imctl = rng.random((64, 64, 3)).astype(np.float32)
+        else:
+            im = _load_image(os.path.join(assets_root, im_p))
+            imctl = _load_image(os.path.join(assets_root, ctl_p))
         out = pipe.action_inference(im, imctl, method, do_pre, h, w, scale,
-                                    seed, ctx, diff, ctl)
+                                    seed, ctx, diff, ctl,
+                                    anime_ug_path=(anime_ug if ctx == "SeeCoder-Anime"
+                                                   else None))
         img = np.asarray(out[0], np.float32)
         gpath = os.path.join(goldens_dir, f"example_{i:02d}.npy")
         if record:
@@ -92,11 +161,16 @@ def run(assets_root, pretrained_root, goldens_dir, record=False,
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser("pfd_tpu.tools.golden_examples")
-    ap.add_argument("--assets", required=True)
-    ap.add_argument("--pretrained", required=True)
+    ap.add_argument("--assets", default=None)
+    ap.add_argument("--pretrained", default=None)
     ap.add_argument("--goldens", default="goldens")
     ap.add_argument("--record", action="store_true")
     ap.add_argument("--cases", type=int, nargs="*", default=None)
+    ap.add_argument("--tiny-smoke", action="store_true",
+                    help="random weights at 64x64: exercises the harness "
+                         "plumbing without the published checkpoints")
     args = ap.parse_args()
+    if not args.tiny_smoke and (args.assets is None or args.pretrained is None):
+        ap.error("--assets and --pretrained are required without --tiny-smoke")
     run(args.assets, args.pretrained, args.goldens, record=args.record,
-        cases=args.cases)
+        cases=args.cases, tiny_smoke=args.tiny_smoke)

@@ -46,6 +46,10 @@ class Trainer:
                  lr_schedule: Callable[[int], float] | None = None,
                  x_type="image", c_type="image", train_mask=None):
         self.model = model
+        if train_mask is not None:
+            # keep frozen params out of the optimizer: adamw's decoupled
+            # weight decay would otherwise decay them even with zeroed grads
+            optimizer = optax.masked(optimizer, train_mask)
         self.optimizer = optimizer
         self.mesh = mesh
         self.cfg = cfg

@@ -51,6 +51,11 @@ CTXENCODER_PATH = {
 
 VAE_PATH = "pretrained/pfd/vae/sd-v2-0-base-autokl.pth"
 
+# negative-context embedding auto-loaded for the anime SeeCoder
+# (app.py:236-241 loads 'assets/anime_ug.pth' whenever tag_ctx is
+# 'SeeCoder-Anime'); resolved under pretrained_root like the checkpoints.
+ANIME_UG_PATH = "assets/anime_ug.pth"
+
 
 def resolve(path: str | None, root: str | None = None) -> str | None:
     if path is None:

@@ -133,3 +133,47 @@ def test_kdiffusion_sampler_runs():
          "unconditional_guidance_scale": 2.0}, steps=4)
     assert x.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_train_mask_frozen_params_exact(tmp_path):
+    """Frozen params must be BIT-identical after a step: adamw weight decay
+    must not touch them (ADVICE r1: optax.masked, not just zeroed grads)."""
+    from jax.tree_util import tree_map_with_path
+    from pfd_tpu.parallel import train as train_lib
+
+    model = make_model()
+    mesh = mesh_lib.make_mesh(jax.devices(), tp=1)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def trainable(path, _):
+        names = [getattr(p, "key", str(p)) for p in path]
+        return "context_blocks" not in names
+
+    mask = tree_map_with_path(trainable, params)
+    opt = train_lib.make_optimizer(lr=1e-2, weight_decay=0.1)
+    init_state, step_fn = train_lib.make_train_step(
+        model, opt, mesh, train_mask=mask, donate=False)
+    state = init_state(params)
+    before = jax.tree.map(np.asarray, state.params)
+
+    batch = make_batch(np.random.default_rng(0))
+    dshard = mesh_lib.data_sharding(mesh)
+    bshard = mesh_lib.batch_only_sharding(mesh)
+    batch = {
+        "x0": jax.device_put(batch["x0"], dshard),
+        "cond": jax.device_put(batch["cond"], bshard),
+        "t": jax.device_put(batch["t"], bshard),
+        "noise": jax.device_put(batch["noise"], dshard),
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    after = jax.tree.map(np.asarray, state.params)
+
+    frozen_same, trainable_changed = [], []
+    def check(m, b, a):
+        if m:
+            trainable_changed.append(not np.array_equal(b, a))
+        else:
+            frozen_same.append(np.array_equal(b, a))
+    jax.tree.map(check, mask, before, after)
+    assert frozen_same and all(frozen_same), "frozen params were modified"
+    assert any(trainable_changed), "trainable params never updated"
