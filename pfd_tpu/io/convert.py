@@ -110,6 +110,27 @@ def torch_sd_to_pytree(sd: dict[str, np.ndarray], *, prefix: str = "",
     return tree
 
 
+def clip_text_sd_to_params(sd: dict[str, np.ndarray], *, dtype=None) -> dict:
+    """torch ``transformers`` CLIPTextModel/CLIPModel state dict -> HF *Flax*
+    CLIP parameter pytree (the tree ``models/clip.py`` encoders consume).
+
+    The generic walk handles projections (transpose) and LayerNorms
+    (weight->scale); the only CLIP-specific quirk is that Flax nn.Embed stores
+    its table under 'embedding' where torch nn.Embedding uses 'weight'
+    (reference conditioning path: clip.py:23-146).
+    """
+    rename = [
+        (r"embeddings\.token_embedding\.weight$",
+         "embeddings.token_embedding.embedding"),
+        (r"embeddings\.position_embedding\.weight$",
+         "embeddings.position_embedding.embedding"),
+    ]
+    sd = {k: v for k, v in sd.items()
+          if k != "text_model.embeddings.position_ids"
+          and not k.startswith("vision_model.embeddings.position_ids")}
+    return torch_sd_to_pytree(sd, rename=rename, dtype=dtype)
+
+
 def pytree_to_torch_sd(tree: dict, *, prefix: str = "") -> dict[str, np.ndarray]:
     """Inverse walk (for exporting checkpoints back to the pfd torch layout)."""
     out: dict[str, np.ndarray] = {}

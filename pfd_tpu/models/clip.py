@@ -40,12 +40,17 @@ def _lazy_flax_clip(version, kind):
 @registry.register("clip_text_context_encoder_sdv1")
 class CLIPTextContextEncoderSDv1:
     """SD-v1 CLIP text conditioning: last_hidden_state tokens
-    (reference clip.py:23-55)."""
+    (reference clip.py:23-55). Compute runs through the functional tower
+    (``hf_clip_text_forward``), so weights are testable from a converted torch
+    state dict (io/convert.clip_text_sd_to_params) without any HF checkout —
+    only tokenization needs one."""
 
     def __init__(self, version="openai/clip-vit-large-patch14", max_length=77,
-                 policy=None, **kw):
+                 heads=12, act="quick_gelu", policy=None, **kw):
         self.version = version
         self.max_length = max_length
+        self.heads = heads
+        self.act = act
         self._tok = self._model = None
 
     def _load(self):
@@ -56,12 +61,16 @@ class CLIPTextContextEncoderSDv1:
         self._load()
         return self._model.params
 
+    def encode_tokens(self, params, input_ids):
+        """(B, S) int token ids -> (B, S, C) context tokens."""
+        return hf_clip_text_forward(params, jnp.asarray(input_ids),
+                                    act=self.act, heads=self.heads)
+
     def encode(self, params, text):
         self._load()
         tokens = self._tok(text, truncation=True, max_length=self.max_length,
                            padding="max_length", return_tensors="np")["input_ids"]
-        out = self._model(input_ids=tokens, params=params)
-        return out.last_hidden_state
+        return self.encode_tokens(params, tokens)
 
 
 @registry.register("clip_text_context_encoder")
@@ -69,9 +78,11 @@ class CLIPTextContextEncoder:
     """Projected + pooled-norm-scaled text tokens (reference clip.py:114-146)."""
 
     def __init__(self, version="openai/clip-vit-large-patch14", max_length=77,
-                 policy=None, **kw):
+                 heads=12, act="quick_gelu", policy=None, **kw):
         self.version = version
         self.max_length = max_length
+        self.heads = heads
+        self.act = act
         self._tok = self._model = None
 
     def _load(self):
@@ -82,17 +93,25 @@ class CLIPTextContextEncoder:
         self._load()
         return self._model.params
 
+    def encode_tokens(self, params, input_ids):
+        input_ids = jnp.asarray(input_ids)
+        hidden = hf_clip_text_forward(params, input_ids,
+                                      act=self.act, heads=self.heads)
+        # pooled output = final-LN hidden at the eot token (highest token id),
+        # matching HF CLIPTextModel.pooler_output semantics
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = hidden[jnp.arange(hidden.shape[0]), eot]
+        proj = params["text_projection"]["kernel"]
+        z = hidden @ proj
+        z_pooled = pooled @ proj
+        norm = jnp.linalg.norm(z_pooled[:, None, :], axis=-1, keepdims=True)
+        return z / norm
+
     def encode(self, params, text):
         self._load()
         tokens = self._tok(text, truncation=True, max_length=self.max_length,
                            padding="max_length", return_tensors="np")["input_ids"]
-        m = self._model.module.bind({"params": params})
-        out = m.text_model(input_ids=jnp.asarray(tokens))
-        proj = params["text_projection"]["kernel"]
-        z = out.last_hidden_state @ proj
-        z_pooled = out.pooler_output @ proj
-        norm = jnp.linalg.norm(z_pooled[:, None, :], axis=-1, keepdims=True)
-        return z / norm
+        return self.encode_tokens(params, tokens)
 
 
 @registry.register("clip_image_context_encoder")

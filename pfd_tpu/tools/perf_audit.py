@@ -1,0 +1,165 @@
+"""TPU perf audit for the DDIM hot loop — op-level attribution + roofline.
+
+The axon relay falsifies dispatch-level timing (CLAUDE.md), so every number
+here comes from an in-graph ``lax.fori_loop`` whose carry feeds the op's
+output back into its input (defeats loop-invariant hoisting), divided by the
+iteration count after a device sync.
+
+Hot path being attributed (reference pfd.py:314-365 + ddim.py:145-150):
+one CFG-doubled UNet forward = batch 2N at latent (H/8, W/8), 50x per image.
+
+Usage:  python -m pfd_tpu.tools.perf_audit  (TPU; ~10-20 min first compile)
+Env:    AUDIT_BATCH (default 8 -> 16 CFG), AUDIT_SIZE (512), AUDIT_ITERS (20)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_PEAK_TFLOPS = 197.0   # bf16
+V5E_HBM_GBPS = 819.0
+
+
+def timeit(fn, carry, iters):
+    """Mean seconds per fn application, measured inside one XLA program."""
+    def body(_, c):
+        return fn(c)
+
+    loop = jax.jit(lambda c: jax.lax.fori_loop(0, iters, body, c))
+    out = loop(carry)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = loop(carry)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report_row(name, sec, flops=None, bytes_moved=None):
+    row = {"op": name, "ms": round(sec * 1e3, 3)}
+    if flops:
+        row["tflops_s"] = round(flops / sec / 1e12, 1)
+        row["mfu_pct"] = round(100 * flops / sec / 1e12 / V5E_PEAK_TFLOPS, 1)
+    if bytes_moved:
+        row["gb_s"] = round(bytes_moved / sec / 1e9, 1)
+        row["hbm_pct"] = round(100 * bytes_moved / sec / 1e9 / V5E_HBM_GBPS, 1)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    from pfd_tpu import config, registry
+    from pfd_tpu.ops import nn
+    from pfd_tpu.ops.flash_attention import self_attn_fn as flash
+    from pfd_tpu.policy import BF16
+
+    n = int(os.environ.get("AUDIT_BATCH", "8"))
+    size = int(os.environ.get("AUDIT_SIZE", "512"))
+    iters = int(os.environ.get("AUDIT_ITERS", "20"))
+    b = 2 * n                      # CFG doubling
+    hl = size // 8                 # latent side
+    dt = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    rows = []
+
+    # ---- the full UNet forward (one denoise step's diffuser work) ----------
+    cfg = config.model_cfg("pfd_seecoder")
+    model = registry.get(cfg["type"])(**cfg["args"], policy=BF16)
+    params = model.init(key)
+    ctx = jax.random.normal(key, (b, 148, 768), dt)
+    t = jnp.full((b,), 500, jnp.int32)
+    x0 = jax.random.normal(key, (b, hl, hl, 4), dt)
+
+    def unet_fwd(x, attn):
+        return model.apply_model(params, {"type": "image", "x": x}, t,
+                                 {"type": "image", "c": ctx},
+                                 self_attn_fn=attn)
+
+    sec_full = timeit(lambda x: unet_fwd(x, flash), x0, iters)
+    rows.append(report_row(f"unet_fwd_b{b}_flash", sec_full))
+    sec_xla_attn = timeit(lambda x: unet_fwd(x, None), x0, iters)
+    rows.append(report_row(f"unet_fwd_b{b}_xla_attn", sec_xla_attn))
+    # attention core stubbed out (projections/FF stay): isolates sdpa cost
+    sec_noattn = timeit(lambda x: unet_fwd(x, lambda q, k, v: v), x0, iters)
+    rows.append(report_row(f"unet_fwd_b{b}_selfattn_stubbed", sec_noattn))
+
+    # ---- convs at the level shapes (SD-1.5 plan at this latent size) -------
+    # (side, channels, 3x3 cin==cout conv): ds1/ds2/ds4/ds8 levels
+    for side, ch in [(hl, 320), (hl // 2, 640), (hl // 4, 1280), (hl // 8, 1280)]:
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        k3 = jax.random.normal(key, (3, 3, ch, ch), dt) * 0.02
+        p = {"kernel": k3, "bias": jnp.zeros((ch,), dt)}
+        f = 2 * b * side * side * 9 * ch * ch
+        by = (2 * b * side * side * ch + 9 * ch * ch) * 2
+        sec = timeit(lambda x: nn.conv2d(x, p, padding=1), x, iters)
+        rows.append(report_row(f"conv3x3_{side}x{side}x{ch}", sec, f, by))
+
+    # ---- GroupNorm+SiLU at the same shapes ---------------------------------
+    for side, ch in [(hl, 320), (hl // 2, 640), (hl // 4, 1280), (hl // 8, 1280)]:
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        p = {"scale": jnp.ones((ch,), dt), "bias": jnp.zeros((ch,), dt)}
+        by = 2 * b * side * side * ch * 2   # read + write bf16
+        sec = timeit(lambda x: nn.silu(nn.group_norm(x, p, eps=1e-5)), x, iters)
+        rows.append(report_row(f"gn_silu_{side}x{side}x{ch}", sec, None, by))
+
+    # ---- attention cores at level sequence lengths --------------------------
+    for s, ch, nh in [(hl * hl, 320, 8), (hl * hl // 4, 640, 8),
+                      (hl * hl // 16, 1280, 8)]:
+        d = ch // nh
+        q = jax.random.normal(key, (b, nh, s, d), dt)
+        f = 4 * b * nh * s * s * d
+        sec = timeit(lambda q: flash(q, q, q), q, iters)
+        rows.append(report_row(f"self_attn_flash_s{s}_d{d}", sec, f))
+        sec = timeit(lambda q: nn.dot_product_attention(q, q, q), q, iters)
+        rows.append(report_row(f"self_attn_xla_s{s}_d{d}", sec, f))
+
+    # cross-attention (KV = 148 tokens)
+    s, ch, nh = hl * hl, 320, 8
+    d = ch // nh
+    q = jax.random.normal(key, (b, nh, s, d), dt)
+    kv = jax.random.normal(key, (b, nh, 148, d), dt)
+    f = 4 * b * nh * s * 148 * d
+    sec = timeit(lambda q: nn.dot_product_attention(q, kv, kv), q, iters)
+    rows.append(report_row(f"cross_attn_s{s}_kv148", sec, f))
+
+    # ---- GEGLU FF at ds1 -----------------------------------------------------
+    s, ch = hl * hl, 320
+    x = jax.random.normal(key, (b, s, ch), dt)
+    pp = {"proj": {"kernel": jax.random.normal(key, (ch, ch * 8), dt) * 0.02,
+                   "bias": jnp.zeros((ch * 8,), dt)}}
+    p2 = {"kernel": jax.random.normal(key, (ch * 4, ch), dt) * 0.02,
+          "bias": jnp.zeros((ch,), dt)}
+    f = 2 * b * s * ch * ch * 8 + 2 * b * s * ch * 4 * ch
+    sec = timeit(lambda x: nn.linear(nn.geglu(x, pp["proj"]), p2), x, iters)
+    rows.append(report_row(f"geglu_ff_s{s}_c{ch}", sec, f))
+
+    # ---- once-per-image stages ----------------------------------------------
+    img = jax.random.normal(key, (1, size, size, 3), dt)
+    sec = timeit(lambda i: model.ctx_encode(params, i, "image")[..., :1] * 0
+                 + 0 * i[:, :1, :148, :1] + i,
+                 img, max(iters // 4, 5))
+    rows.append(report_row("seecoder_encode_b1", sec))
+
+    z = jax.random.normal(key, (n, hl, hl, 4), jnp.float32)
+    sec = timeit(lambda z: z + 0 * jnp.mean(
+        model.vae_decode(params, z, "image").astype(jnp.float32)), z,
+        max(iters // 4, 5))
+    rows.append(report_row(f"vae_decode_b{n}", sec))
+
+    total_step = sec_full
+    print(json.dumps({
+        "summary": {
+            "unet_fwd_ms": round(sec_full * 1e3, 2),
+            "ddim50_unet_only_s_per_batch": round(50 * total_step, 2),
+            "implied_img_per_s": round(n / (50 * total_step), 3),
+        }
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
