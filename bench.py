@@ -1,9 +1,21 @@
-"""Headline benchmark: 512x512 images/sec/chip at DDIM-50 (BASELINE.json).
+"""Benchmarks for the five BASELINE.md configs (TPU v5e, one chip).
 
-Runs the full serving hot path on the attached TPU chip: SeeCoder encode ->
-50-step CFG-doubled DDIM scan -> VAE decode, bf16, batch-B, jitted as one
-program per stage. Prints ONE JSON line with images/sec/chip vs the 2.0
-baseline target.
+Default (driver contract): prints ONE JSON line — the headline metric,
+512x512 images/sec/chip at DDIM-50 on BASELINE config #1 (SD-v1-5 +
+seecoder, no ControlNet).
+
+BENCH_CONFIGS=all additionally benchmarks the other BASELINE.md configs,
+one JSON line each, headline LAST (the driver parses the final line):
+
+  zoo_swap    — style-zoo checkpoint hot-swap: pytree swap must not recompile
+                (app.py:137-195 semantics; all diffusers share one structure)
+  controlnet  — ControlNet branch on (canny/depth share this compute path:
+                50x2 extra encoder forwards, reference pfd.py:473)
+  preprocess  — full annotator stack, per-method milliseconds @512^2
+  dp_serve    — batch-8 mixed-reference serving (8 distinct reference images,
+                per-sample contexts): the per-chip share of the 8-way DP config
+
+Env knobs: BENCH_BATCH/STEPS/SIZE/FLASH/ENCODER_INTERVAL/ITERS/CONFIGS.
 """
 
 from __future__ import annotations
@@ -16,68 +28,187 @@ import jax
 import jax.numpy as jnp
 
 
-def build():
+def _env_int(name, default):
+    return int(os.environ.get(name, str(default)))
+
+
+BATCH = _env_int("BENCH_BATCH", 8)
+STEPS = _env_int("BENCH_STEPS", 50)
+SIZE = _env_int("BENCH_SIZE", 512)
+ITERS = _env_int("BENCH_ITERS", 3)
+USE_FLASH = os.environ.get("BENCH_FLASH", "1") == "1"
+ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 1)
+
+
+def _attn():
+    if not USE_FLASH:
+        return None
+    from pfd_tpu.ops.flash_attention import self_attn_fn
+    return self_attn_fn
+
+
+def build(with_control=False):
     from pfd_tpu import config, registry
     from pfd_tpu.diffusion.ddim import DDIMSampler
     from pfd_tpu.policy import BF16
 
-    cfg = config.model_cfg("pfd_seecoder")  # BASELINE config #1: no controlnet
+    name = "pfd_seecoder_with_controlnet" if with_control else "pfd_seecoder"
+    cfg = config.model_cfg(name)
     model = registry.get(cfg["type"])(**cfg["args"], policy=BF16)
     params = model.init(jax.random.PRNGKey(0))
-    sampler = DDIMSampler(model)
-    return model, params, sampler
+    return model, params, DDIMSampler(model)
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
-    size = int(os.environ.get("BENCH_SIZE", "512"))
-    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
-    # >1 enables encoder-propagation turbo (output-changing; opt-in)
-    enc_interval = int(os.environ.get("BENCH_ENCODER_INTERVAL", "1"))
-    model, params, sampler = build()
-    tables = sampler.make_tables(steps, 0.0)
+def make_e2e(model, sampler, tables, *, batch, with_control=False,
+             mixed_refs=False):
+    """One jitted program: SeeCoder encode -> CFG DDIM scan -> VAE decode."""
+    attn = _attn()
 
-    attn = None
-    if use_flash:
-        from pfd_tpu.ops.flash_attention import self_attn_fn
-        attn = self_attn_fn
-
-    def e2e(params, rng, ref_image):
+    def e2e(params, rng, ref_image, hint):
         c = model.ctx_encode(params, ref_image, "image")
-        c = jnp.tile(c, (batch, 1, 1))
+        if not mixed_refs:
+            c = jnp.tile(c, (batch, 1, 1))
         u = jnp.zeros_like(c)
         rng, init_rng = jax.random.split(rng)
-        x = jax.random.normal(init_rng, (batch, size // 8, size // 8, 4),
+        x = jax.random.normal(init_rng, (batch, SIZE // 8, SIZE // 8, 4),
                               jnp.float32)
         c_info = {"conditioning": c, "unconditional_conditioning": u,
                   "unconditional_guidance_scale": 2.0}
+        if with_control:
+            c_info["control"] = hint
         x, _ = sampler.sample_fn(params, rng, x, c_info, tables,
                                  self_attn_fn=attn,
-                                 encoder_interval=enc_interval)
+                                 encoder_interval=ENC_INTERVAL)
         return model.vae_decode(params, x, "image")
 
-    fn = jax.jit(e2e)
-    ref_image = jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    return jax.jit(e2e)
 
-    # warmup/compile
-    out = fn(params, jax.random.PRNGKey(1), ref_image)
+
+def throughput(fn, params, args, iters=ITERS):
+    """(images/sec for BATCH images per call, steady-state seconds per call)."""
+    out = fn(params, jax.random.PRNGKey(1), *args)
     jax.block_until_ready(out)
-
-    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = fn(params, jax.random.PRNGKey(2 + i), ref_image)
+    for i in range(iters):
+        out = fn(params, jax.random.PRNGKey(2 + i), *args)
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / iters
+    return BATCH / dt, dt
 
-    imgs_per_sec = batch * n_iters / dt
-    print(json.dumps({
-        "metric": f"{size}x{size}_images_per_sec_per_chip_ddim{steps}",
-        "value": round(imgs_per_sec, 4),
+
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def bench_headline(shared):
+    model, params, sampler = shared["plain"]
+    fn = make_e2e(model, sampler, shared["tables"], batch=BATCH)
+    ref = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
+    ips, _ = throughput(fn, params, (ref, None))
+    shared["headline"] = {
+        "metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}",
+        "value": round(ips, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / 2.0, 4),
-    }))
+        "vs_baseline": round(ips / 2.0, 4),
+    }
+    shared["headline_fn"] = (fn, ref)
+
+
+def bench_zoo_swap(shared):
+    """Hot-swap = pytree swap, zero recompile: steady-state latency with the
+    swapped-in diffuser/SeeCoder params must match the warm latency."""
+    model, params, sampler = shared["plain"]
+    fn, ref = shared["headline_fn"]
+    _, warm_dt = throughput(fn, params, (ref, None), iters=2)
+
+    # "Anything-v4 + SeeCoder-Anime" stand-in: same structure, new values
+    # (zoo files are not shipped in this environment; the contract under test
+    # is structural identity -> no recompile, pfd.py:297-304 invariant)
+    t0 = time.perf_counter()
+    swapped = dict(params)
+    swapped["diffuser"] = jax.tree.map(lambda a: a * 1.0001, params["diffuser"])
+    swapped["ctx"] = jax.tree.map(lambda a: a * 1.0001, params["ctx"])
+    jax.block_until_ready(swapped)
+    swap_ms = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    out = fn(swapped, jax.random.PRNGKey(7), ref, None)
+    jax.block_until_ready(out)
+    first_dt = time.perf_counter() - t0
+    emit({"metric": "zoo_swap_first_request_overhead",
+          "value": round(max(first_dt - warm_dt, 0.0) * 1e3, 1), "unit": "ms",
+          "swap_ms": round(swap_ms, 1),
+          "recompiled": bool(first_dt > 2.0 * warm_dt),
+          "vs_baseline": round((BATCH / first_dt) / 2.0, 4)})
+
+
+def bench_controlnet(shared):
+    from pfd_tpu import annotators
+    import numpy as np
+
+    model, params, sampler = build(with_control=True)
+    rng = np.random.default_rng(0)
+    img = rng.random((SIZE, SIZE, 3), dtype=np.float32)
+    hint = annotators.preprocess(img, method="canny", size=(SIZE, SIZE))
+    hint = jnp.tile(jnp.asarray(hint)[None], (BATCH, 1, 1, 1))
+    fn = make_e2e(model, sampler, shared["tables"], batch=BATCH,
+                  with_control=True)
+    ref = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
+    ips, _ = throughput(fn, params, (ref, hint))
+    emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}_controlnet",
+          "value": round(ips, 4), "unit": "images/sec/chip",
+          "vs_baseline": round(ips / 2.0, 4)})
+
+
+def bench_preprocess(shared):
+    from pfd_tpu import annotators
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = rng.random((SIZE, SIZE, 3), dtype=np.float32)
+    per_method = {}
+    for method in ["canny", "hed", "scribble", "mlsd", "depth", "openpose"]:
+        try:
+            annotators.preprocess(img, method=method, size=(SIZE, SIZE))  # warm
+            t0 = time.perf_counter()
+            for _ in range(3):
+                annotators.preprocess(img, method=method, size=(SIZE, SIZE))
+            per_method[method] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+        except Exception as e:  # annotator weights absent etc.
+            per_method[method] = f"error: {type(e).__name__}"
+    emit({"metric": "preprocess_stack_ms_per_image", "value": per_method,
+          "unit": "ms", "vs_baseline": None})
+
+
+def bench_dp_serve(shared):
+    """Mixed-reference batch: 8 distinct reference images -> 8 contexts.
+    One chip's share of the BASELINE 8-way DP serving config (the DP axis is
+    embarrassingly parallel; multi-chip sharding is validated by
+    __graft_entry__.dryrun_multichip on the virtual mesh)."""
+    model, params, sampler = shared["plain"]
+    fn = make_e2e(model, sampler, shared["tables"], batch=BATCH,
+                  mixed_refs=True)
+    refs = jax.random.uniform(jax.random.PRNGKey(3),
+                              (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+    ips, _ = throughput(fn, params, (refs, None))
+    emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ref_batch{BATCH}",
+          "value": round(ips, 4), "unit": "images/sec/chip",
+          "vs_baseline": round(ips / 2.0, 4)})
+
+
+def main():
+    which = os.environ.get("BENCH_CONFIGS", "headline")
+    shared = {}
+    shared["plain"] = build(with_control=False)
+    shared["tables"] = shared["plain"][2].make_tables(STEPS, 0.0)
+
+    bench_headline(shared)
+    if which == "all":
+        bench_zoo_swap(shared)
+        bench_preprocess(shared)
+        bench_dp_serve(shared)
+        bench_controlnet(shared)
+    emit(shared["headline"])  # headline LAST: the driver parses the final line
 
 
 if __name__ == "__main__":

@@ -6,6 +6,19 @@ bf16-friendly. Latent self-attention sequences run 256..36,864 tokens
 (SURVEY §5), so K/V are streamed in blocks with the online-softmax recurrence
 instead of materializing the (S, S) logits in HBM.
 
+The SD-1.5 UNet's head dim is small (40/80/160), so the MXU matmuls are
+lane-padded and the kernel is VPU-bound on the softmax elementwise passes.
+Three measured optimizations keep VPU work to two passes over the logits
+(max, exp) per block:
+
+- q is pre-scaled by ``scale`` outside the kernel (removes a full (bq, bk)
+  multiply per block — scale cost moves to (s, d));
+- the softmax denominator ``l`` rides the PV matmul as a ones-column
+  appended to v in the lane padding (free whenever d % 128 != 0, i.e. all
+  UNet heads) instead of a separate VPU row-sum;
+- padded-key masking is emitted only when the sequence actually pads
+  (s % block != 0), so the common power-of-two shapes skip it entirely.
+
 Layout: (B, H, S, D) -> flattened (B*H, S, D). D is zero-padded to the 128
 lane width (exact: zero key columns don't change q·k, zero value columns are
 sliced off). Sequence is zero-padded to the block size with -inf masking of
@@ -15,7 +28,6 @@ padded keys.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -26,45 +38,50 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale, s_valid, s_pad, bk):
+                  s_valid, s_pad, bk, d_valid, fused_l):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if not fused_l:
+            l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0]                       # (bq, d)
-    k = k_ref[0]                       # (bk, d)
+    q = q_ref[0]                       # (bq, d_pad), pre-scaled by 1/sqrt(d)
+    k = k_ref[0]                       # (bk, d_pad)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
 
-    # mask padded keys (padding is to s_pad = round_up(s, max(bq, bk)), so
-    # gate on s_pad != s_valid — s % bk == 0 alone does not imply no padding)
-    first_key = j * bk
+    # mask padded keys (padding is to s_pad = round_up(s, max(bq, bk)); only
+    # emitted when padding exists — power-of-two sequences skip the pass)
     if s_pad != s_valid:
+        first_key = j * bk
         key_ids = first_key + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_ids < s_valid, s, NEG_INF)
 
     m_prev = m_scr[:, :1]              # (bq, 1)
-    l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)             # (bq, bk)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+    pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    if not fused_l:
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(j == nk - 1)
     def _():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        if fused_l:
+            l = acc_scr[:, d_valid:d_valid + 1]
+        else:
+            l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -82,16 +99,24 @@ def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
     bk = min(block_k, _round_up(s, 128))
     s_pad = _round_up(s, max(bq, bk))
     d_pad = _round_up(d, 128)
+    # the softmax denominator rides the PV matmul in the lane padding when
+    # there is room (always true for the 40/80/160 UNet head dims)
+    fused_l = d_pad > d
 
     def prep(x):
         x = x.reshape(b * h, s, d)
         return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
 
-    qf, kf, vf = prep(q), prep(k), prep(v)
+    qf = prep(q * jnp.asarray(scale, q.dtype))
+    kf, vf = prep(k), prep(v)
+    if fused_l:
+        # ones-column for valid rows only (padded rows must contribute 0)
+        col = jnp.zeros((s_pad, d_pad), vf.dtype).at[:s, d].set(1.0)
+        vf = vf + col[None]
 
     grid = (b * h, s_pad // bq, s_pad // bk)
-    kernel = functools.partial(_flash_kernel, scale=scale, s_valid=s,
-                               s_pad=s_pad, bk=bk)
+    kernel = functools.partial(_flash_kernel, s_valid=s, s_pad=s_pad, bk=bk,
+                               d_valid=d, fused_l=fused_l)
     interpret = jax.default_backend() == "cpu"  # tests run on the CPU mesh
 
     out = pl.pallas_call(

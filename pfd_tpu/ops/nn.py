@@ -142,16 +142,17 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def gelu(x):
-    # exact erf gelu (torch nn.GELU default)
-    return jax.nn.gelu(x, approximate=False)
+def gelu(x, approximate=False):
+    # exact erf gelu (torch nn.GELU default); tanh approx under the bf16
+    # policy (see policy.Policy.gelu_approx for the error/latency analysis)
+    return jax.nn.gelu(x, approximate=approximate)
 
 
-def geglu(x, p):
+def geglu(x, p, approximate=False):
     """GEGLU feed-forward gate (reference attention.py:44-52)."""
     y = linear(x, p)
     val, gate = jnp.split(y, 2, axis=-1)
-    return val * gelu(gate)
+    return val * gelu(gate, approximate)
 
 
 def timestep_embedding(timesteps, dim, max_period=10000, dtype=jnp.float32):

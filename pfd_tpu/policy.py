@@ -26,6 +26,12 @@ class Policy:
     param_dtype: jnp.dtype = jnp.bfloat16
     norm_dtype: jnp.dtype = jnp.float32
     softmax_dtype: jnp.dtype = jnp.float32
+    # tanh-approximate GELU in the UNet GEGLU FF. The approximation error
+    # (max ~3e-3 near |x|=2) is below bf16 quantization (~8e-3 relative at
+    # that magnitude), while the exact erf costs ~1 ms per context block on
+    # v5e (measured: 2.53 -> 1.52 ms per ds=1 FF). Exact in the FP32 policy
+    # so parity tests still match torch nn.GELU bit-for-bit.
+    gelu_approx: bool = True
 
     def cast(self, x):
         return x.astype(self.compute_dtype)
@@ -37,6 +43,7 @@ FP32 = Policy(
     param_dtype=jnp.float32,
     norm_dtype=jnp.float32,
     softmax_dtype=jnp.float32,
+    gelu_approx=False,
 )
 
 # TPU production policy.

@@ -52,6 +52,19 @@ def report_row(name, sec, flops=None, bytes_moved=None):
     return row
 
 
+def timeit_dispatch(fn, *args, iters=5):
+    """Mean seconds per jitted call (dispatch overhead included — used for
+    programs too large for the remote compiler when wrapped in fori_loop)."""
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     from pfd_tpu import config, registry
     from pfd_tpu.ops import nn
@@ -61,12 +74,22 @@ def main():
     n = int(os.environ.get("AUDIT_BATCH", "8"))
     size = int(os.environ.get("AUDIT_SIZE", "512"))
     iters = int(os.environ.get("AUDIT_ITERS", "20"))
+    sections = os.environ.get("AUDIT_SECTIONS", "ops,unet").split(",")
     b = 2 * n                      # CFG doubling
     hl = size // 8                 # latent side
     dt = jnp.bfloat16
     key = jax.random.PRNGKey(0)
     rows = []
 
+    if "ops" in sections:
+        audit_ops(nn, flash, b, hl, key, dt, iters, rows)
+    if "unet" in sections:
+        audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
+                   iters, rows)
+
+
+def audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
+               iters, rows):
     # ---- the full UNet forward (one denoise step's diffuser work) ----------
     cfg = config.model_cfg("pfd_seecoder")
     model = registry.get(cfg["type"])(**cfg["args"], policy=BF16)
@@ -80,14 +103,34 @@ def main():
                                  {"type": "image", "c": ctx},
                                  self_attn_fn=attn)
 
-    sec_full = timeit(lambda x: unet_fwd(x, flash), x0, iters)
+    sec_full = timeit_dispatch(lambda x: unet_fwd(x, flash), x0)
     rows.append(report_row(f"unet_fwd_b{b}_flash", sec_full))
-    sec_xla_attn = timeit(lambda x: unet_fwd(x, None), x0, iters)
+    sec_xla_attn = timeit_dispatch(lambda x: unet_fwd(x, None), x0)
     rows.append(report_row(f"unet_fwd_b{b}_xla_attn", sec_xla_attn))
     # attention core stubbed out (projections/FF stay): isolates sdpa cost
-    sec_noattn = timeit(lambda x: unet_fwd(x, lambda q, k, v: v), x0, iters)
+    sec_noattn = timeit_dispatch(lambda x: unet_fwd(x, lambda q, k, v: v), x0)
     rows.append(report_row(f"unet_fwd_b{b}_selfattn_stubbed", sec_noattn))
 
+    # ---- once-per-image stages ----------------------------------------------
+    img = jax.random.normal(key, (1, size, size, 3), dt)
+    sec = timeit_dispatch(lambda i: model.ctx_encode(params, i, "image"), img)
+    rows.append(report_row("seecoder_encode_b1", sec))
+
+    z = jax.random.normal(key, (n, hl, hl, 4), jnp.float32)
+    sec = timeit_dispatch(lambda z: model.vae_decode(params, z, "image"), z)
+    rows.append(report_row(f"vae_decode_b{n}", sec))
+
+    total_step = sec_full
+    print(json.dumps({
+        "summary": {
+            "unet_fwd_ms": round(sec_full * 1e3, 2),
+            "ddim50_unet_only_s_per_batch": round(50 * total_step, 2),
+            "implied_img_per_s": round(n / (50 * total_step), 3),
+        }
+    }), flush=True)
+
+
+def audit_ops(nn, flash, b, hl, key, dt, iters, rows):
     # ---- convs at the level shapes (SD-1.5 plan at this latent size) -------
     # (side, channels, 3x3 cin==cout conv): ds1/ds2/ds4/ds8 levels
     for side, ch in [(hl, 320), (hl // 2, 640), (hl // 4, 1280), (hl // 8, 1280)]:
@@ -106,6 +149,28 @@ def main():
         by = 2 * b * side * side * ch * 2   # read + write bf16
         sec = timeit(lambda x: nn.silu(nn.group_norm(x, p, eps=1e-5)), x, iters)
         rows.append(report_row(f"gn_silu_{side}x{side}x{ch}", sec, None, by))
+
+    # ---- whole ResBlock (GN+SiLU+conv x2 + emb add + skip) -------------------
+    from pfd_tpu.models import blocks
+    from pfd_tpu.policy import BF16 as _pol
+
+    for side, ch in [(hl, 320), (hl // 2, 640), (hl // 4, 1280)]:
+        p = blocks.init_res_block(jax.random.PRNGKey(1), ch, ch, 1280, dt)
+        emb = jax.random.normal(key, (b, 1280), dt)
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        f = 2 * 2 * b * side * side * 9 * ch * ch
+        sec = timeit(lambda x: blocks.res_block(p, x, emb, _pol), x, iters)
+        rows.append(report_row(f"res_block_{side}x{side}x{ch}", sec, f))
+
+    # ---- whole SpatialTransformer context block ------------------------------
+    for side, ch, nh in [(hl, 320, 8), (hl // 2, 640, 8)]:
+        p = blocks.init_spatial_transformer(jax.random.PRNGKey(2), ch, nh,
+                                            ch // nh, 768, dt)
+        ctxv = jax.random.normal(key, (b, 148, 768), dt)
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        sec = timeit(lambda x: blocks.spatial_transformer(
+            p, x, ctxv, nh, _pol, self_attn_fn=flash), x, iters)
+        rows.append(report_row(f"context_block_{side}x{side}x{ch}", sec))
 
     # ---- attention cores at level sequence lengths --------------------------
     for s, ch, nh in [(hl * hl, 320, 8), (hl * hl // 4, 640, 8),
@@ -137,28 +202,6 @@ def main():
     f = 2 * b * s * ch * ch * 8 + 2 * b * s * ch * 4 * ch
     sec = timeit(lambda x: nn.linear(nn.geglu(x, pp["proj"]), p2), x, iters)
     rows.append(report_row(f"geglu_ff_s{s}_c{ch}", sec, f))
-
-    # ---- once-per-image stages ----------------------------------------------
-    img = jax.random.normal(key, (1, size, size, 3), dt)
-    sec = timeit(lambda i: model.ctx_encode(params, i, "image")[..., :1] * 0
-                 + 0 * i[:, :1, :148, :1] + i,
-                 img, max(iters // 4, 5))
-    rows.append(report_row("seecoder_encode_b1", sec))
-
-    z = jax.random.normal(key, (n, hl, hl, 4), jnp.float32)
-    sec = timeit(lambda z: z + 0 * jnp.mean(
-        model.vae_decode(params, z, "image").astype(jnp.float32)), z,
-        max(iters // 4, 5))
-    rows.append(report_row(f"vae_decode_b{n}", sec))
-
-    total_step = sec_full
-    print(json.dumps({
-        "summary": {
-            "unet_fwd_ms": round(sec_full * 1e3, 2),
-            "ddim50_unet_only_s_per_batch": round(50 * total_step, 2),
-            "implied_img_per_s": round(n / (50 * total_step), 3),
-        }
-    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,8 @@ from pfd_tpu.ops.flash_attention import flash_attention
 from tests.ref_utils import assert_close
 
 
-@pytest.mark.parametrize("s,d", [(256, 40), (520, 80), (1024, 64)])
+@pytest.mark.parametrize("s,d", [(256, 40), (520, 80), (1024, 64),
+                                 (520, 128)])  # d=128: separate-l path
 def test_flash_matches_xla(s, d):
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
