@@ -11,8 +11,11 @@ lane-padded and the kernel is VPU-bound on the softmax elementwise passes.
 Three measured optimizations keep VPU work to two passes over the logits
 (max, exp) per block:
 
-- q is pre-scaled by ``scale`` outside the kernel (removes a full (bq, bk)
-  multiply per block — scale cost moves to (s, d));
+- q is pre-scaled by ``scale * log2(e)`` outside the kernel (removes a full
+  (bq, bk) multiply per block — scale cost moves to (s, d)) and the softmax
+  runs in base 2: ``exp(s*scale) == exp2(s*scale*log2e)``, so the kernel
+  issues the VPU's native ``exp2`` without the per-element ln2 multiply the
+  ``exp`` lowering needs;
 - the softmax denominator ``l`` rides the PV matmul as a ones-column
   appended to v in the lane padding (free whenever d % 128 != 0, i.e. all
   UNet heads) instead of a separate VPU row-sum;
@@ -64,8 +67,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_prev = m_scr[:, :1]              # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)             # (bq, bk)
+    alpha = jnp.exp2(m_prev - m_new)   # q pre-scaled by scale*log2e
+    p = jnp.exp2(s - m_new)            # (bq, bk)
 
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -107,7 +110,8 @@ def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
         x = x.reshape(b * h, s, d)
         return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
 
-    qf = prep(q * jnp.asarray(scale, q.dtype))
+    LOG2E = 1.4426950408889634
+    qf = prep(q * jnp.asarray(scale * LOG2E, q.dtype))
     kf, vf = prep(k), prep(v)
     if fused_l:
         # ones-column for valid rows only (padded rows must contribute 0)

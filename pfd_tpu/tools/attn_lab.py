@@ -1,0 +1,62 @@
+"""Flash-attention kernel lab — block-size / variant sweep on the TPU.
+
+The ds1 self-attention (s=4096, d_head=40, CFG batch 16 -> b*h=128) is the
+single largest line in the DDIM step budget (see docs/PARITY.md round-2
+attribution): d=40 pads to the 128 MXU lanes, giving a padded-matmul floor
+of ~5.6 ms per context block, with fp32 online-softmax VPU passes on top.
+This lab times `ops.flash_attention` variants at the real UNet shapes so
+kernel changes are judged on measured ms, not vibes.
+
+Usage: python -m pfd_tpu.tools.attn_lab   (TPU, ~2 min)
+Env:   LAB_BATCH (default 16 = CFG-doubled bench batch 8), LAB_ITERS (50)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+import jax
+import jax.numpy as jnp
+
+from pfd_tpu.ops import flash_attention as fa
+
+V5E_PEAK_TFLOPS = 197.0
+
+
+from pfd_tpu.tools.perf_audit import timeit  # dispatch timing, overhead-corrected
+
+
+def main():
+    b = int(os.environ.get("LAB_BATCH", "16"))
+    iters = int(os.environ.get("LAB_ITERS", "20"))
+    key = jax.random.PRNGKey(0)
+    dt = jnp.bfloat16
+
+    # (s, d, heads): ds1 and ds2 UNet levels @512^2
+    for s, d, nh in [(4096, 40, 8), (1024, 80, 8)]:
+        q = jax.random.normal(key, (b, nh, s, d), dt)
+        f = 4 * b * nh * s * s * d
+        f_pad = 4 * b * nh * s * s * 128
+        for bq, bk in [(1024, 1024), (512, 512), (1024, 512), (512, 1024),
+                       (2048, 512), (1024, 256), (2048, 1024)]:
+            if bq > s or bk > s:
+                continue
+            try:
+                sec = timeit(lambda x: fa.flash_attention(
+                    x, x, x, block_q=bq, block_k=bk), q, iters)
+                print(json.dumps({
+                    "case": f"s{s}_d{d}_bq{bq}_bk{bk}",
+                    "ms": round(sec * 1e3, 3),
+                    "mfu_pct": round(100 * f / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
+                    "padded_mfu_pct": round(
+                        100 * f_pad / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
+                }), flush=True)
+            except Exception as e:  # noqa: BLE001 - lab tool, report and go on
+                print(json.dumps({"case": f"s{s}_d{d}_bq{bq}_bk{bk}",
+                                  "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

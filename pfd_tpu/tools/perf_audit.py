@@ -1,9 +1,15 @@
 """TPU perf audit for the DDIM hot loop — op-level attribution + roofline.
 
-The axon relay falsifies dispatch-level timing (CLAUDE.md), so every number
-here comes from an in-graph ``lax.fori_loop`` whose carry feeds the op's
-output back into its input (defeats loop-invariant hoisting), divided by the
-iteration count after a device sync.
+Timing is the **fetch-forced slope method** (:func:`timeit`): the axon
+remote backend defers compile AND execution until a value is actually
+fetched — ``block_until_ready`` is effectively a no-op — so both in-graph
+``lax.fori_loop`` timing and naive dispatch timing collapse to ~0. What
+does work: build a feedback chain of N dispatches, force it with a scalar
+``jnp.sum`` fetch, do the same for 2N, and take ``(t_2N - t_N) / N`` —
+fixed costs (tunnel roundtrip, queue flush) cancel in the difference.
+Validated: a 4096^3 bf16 matmul times at 0.714 ms = 96% of the v5e MXU
+peak; the per-dispatch floor is ~0.115 ms (ops cheaper than ~0.3 ms are
+below the method's resolution).
 
 Hot path being attributed (reference pfd.py:314-365 + ddim.py:145-150):
 one CFG-doubled UNet forward = batch 2N at latent (H/8, W/8), 50x per image.
@@ -26,18 +32,33 @@ V5E_PEAK_TFLOPS = 197.0   # bf16
 V5E_HBM_GBPS = 819.0
 
 
-def timeit(fn, carry, iters):
-    """Mean seconds per fn application, measured inside one XLA program."""
-    def body(_, c):
-        return fn(c)
+def _fetch(x):
+    """Force execution of everything `x` depends on; returns a host scalar."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
 
-    loop = jax.jit(lambda c: jax.lax.fori_loop(0, iters, body, c))
-    out = loop(carry)
-    jax.block_until_ready(out)
+
+def _chain_fetch_time(jfn, carry, n):
+    out = carry
+    for _ in range(n):
+        out = jfn(out)
     t0 = time.perf_counter()
-    out = loop(carry)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _fetch(out)
+    return time.perf_counter() - t0
+
+
+def timeit(fn, carry, iters, reps=3):
+    """Mean seconds per fn application, fetch-forced slope method (see module
+    docstring). `fn` must be shape/dtype-preserving (output feeds back)."""
+    jfn = jax.jit(fn)
+    _fetch(jfn(carry))  # compile via a real fetch
+    vals = []
+    for _ in range(reps):
+        t1 = _chain_fetch_time(jfn, carry, iters)
+        t2 = _chain_fetch_time(jfn, carry, 2 * iters)
+        vals.append((t2 - t1) / iters)
+    vals.sort()
+    return max(vals[len(vals) // 2], 1e-9)
 
 
 def report_row(name, sec, flops=None, bytes_moved=None):
@@ -52,17 +73,40 @@ def report_row(name, sec, flops=None, bytes_moved=None):
     return row
 
 
+_BASELINE = None
+
+
+def _fetch_baseline():
+    """Median cost of one dispatch+fetch of a trivial program (tunnel floor)."""
+    global _BASELINE
+    if _BASELINE is None:
+        f = jax.jit(lambda x: x + 1)
+        tiny = jnp.zeros((8, 128), jnp.bfloat16)
+        _fetch(f(tiny))
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            _fetch(f(tiny))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        _BASELINE = ts[len(ts) // 2]
+    return _BASELINE
+
+
 def timeit_dispatch(fn, *args, iters=5):
-    """Mean seconds per jitted call (dispatch overhead included — used for
-    programs too large for the remote compiler when wrapped in fori_loop)."""
+    """Mean seconds per jitted call for fns whose output shape differs from
+    the input (not chainable): each call is fetch-forced individually and the
+    trivial dispatch+fetch floor is subtracted."""
     jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    _fetch(jfn(*args))
+    base = _fetch_baseline()
+    ts = []
     for _ in range(iters):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        _fetch(jfn(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(ts[len(ts) // 2] - base, 1e-9)
 
 
 def main():
@@ -83,9 +127,37 @@ def main():
 
     if "ops" in sections:
         audit_ops(nn, flash, b, hl, key, dt, iters, rows)
+    if "fused" in sections:
+        audit_fused(nn, b, hl, key, dt, iters, rows)
     if "unet" in sections:
         audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
                    iters, rows)
+
+
+def audit_fused(nn, b, hl, key, dt, iters, rows):
+    """Pallas fused GN+SiLU+conv3x3 vs the plain XLA chain (see
+    ops/fused_conv.py — measured slower as of 2026-08; kept re-measurable)."""
+    from pfd_tpu.ops import fused_conv as fc
+
+    for side, ch in [(hl, 320), (hl // 2, 640), (hl // 4, 1280)]:
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        norm_p = {"scale": jnp.ones((ch,), dt), "bias": jnp.zeros((ch,), dt)}
+        conv_p = {"kernel": jax.random.normal(key, (3, 3, ch, ch), dt) * 0.02,
+                  "bias": jnp.zeros((ch,), dt)}
+        f = 2 * b * side * side * 9 * ch * ch
+
+        def plain(x):
+            y = nn.silu(nn.group_norm(x, norm_p, eps=1e-5))
+            return nn.conv2d(y, conv_p, padding=1) + x
+
+        def fused(x):
+            return fc.gn_silu_conv3x3(x, norm_p, conv_p, residual=x)
+
+        name = f"{side}x{side}x{ch}"
+        rows.append(report_row(f"gnsiluconv_plain_{name}",
+                               timeit(plain, x, iters), f))
+        rows.append(report_row(f"gnsiluconv_fused_{name}",
+                               timeit(fused, x, iters), f))
 
 
 def audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
