@@ -47,6 +47,9 @@ def _attn():
     return self_attn_fn
 
 
+QUANT = os.environ.get("BENCH_QUANT", "0") == "1"
+
+
 def build(with_control=False):
     from pfd_tpu import config, registry
     from pfd_tpu.diffusion.ddim import DDIMSampler
@@ -56,6 +59,12 @@ def build(with_control=False):
     cfg = config.model_cfg(name)
     model = registry.get(cfg["type"])(**cfg["args"], policy=BF16)
     params = model.init(jax.random.PRNGKey(0))
+    if QUANT:
+        # int8 serving mode (ops/quant.py; SSIM-gated in tests/test_quant_e2e)
+        from pfd_tpu.ops import quant
+        params["diffuser"] = quant.quantize_params(params["diffuser"])
+        if "ctl" in params:
+            params["ctl"] = quant.quantize_params(params["ctl"])
     return model, params, DDIMSampler(model)
 
 
@@ -84,14 +93,24 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
     return jax.jit(e2e)
 
 
+def _force(out):
+    """Value fetch — the only reliable execution barrier on the axon backend
+    (block_until_ready can return before the program runs; CLAUDE.md)."""
+    return float(jnp.sum(out.astype(jnp.float32)))
+
+
 def throughput(fn, params, args, iters=ITERS):
-    """(images/sec for BATCH images per call, steady-state seconds per call)."""
+    """(images/sec for BATCH images per call, steady-state seconds per call).
+
+    Each call's output feeds a scalar fetch so the chain of `iters` calls is
+    provably executed inside the timed window; the single end fetch adds one
+    tunnel roundtrip (~50 ms), amortized over `iters` multi-second calls."""
     out = fn(params, jax.random.PRNGKey(1), *args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(params, jax.random.PRNGKey(2 + i), *args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / iters
     return BATCH / dt, dt
 
@@ -106,7 +125,8 @@ def bench_headline(shared):
     ref = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
     ips, _ = throughput(fn, params, (ref, None))
     shared["headline"] = {
-        "metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}",
+        "metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
+                  + ("_int8" if QUANT else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 2.0, 4),
@@ -125,9 +145,12 @@ def bench_zoo_swap(shared):
     # (zoo files are not shipped in this environment; the contract under test
     # is structural identity -> no recompile, pfd.py:297-304 invariant)
     t0 = time.perf_counter()
+    def perturb(a):
+        return a * 1.0001 if jnp.issubdtype(a.dtype, jnp.floating) else a
+
     swapped = dict(params)
-    swapped["diffuser"] = jax.tree.map(lambda a: a * 1.0001, params["diffuser"])
-    swapped["ctx"] = jax.tree.map(lambda a: a * 1.0001, params["ctx"])
+    swapped["diffuser"] = jax.tree.map(perturb, params["diffuser"])
+    swapped["ctx"] = jax.tree.map(perturb, params["ctx"])
     jax.block_until_ready(swapped)
     swap_ms = (time.perf_counter() - t0) * 1e3
 

@@ -110,10 +110,9 @@ def _mha(p, x_q, x_kv, n_heads, policy, attn_fn=None):
         # wider N for MXU tiling; the q/k/v kernels stay separate params for
         # the checkpoint contract — concatenated at trace time, so XLA hoists
         # the concat out of the sampler scan)
-        w = jnp.concatenate([p["to_q"]["kernel"], p["to_k"]["kernel"],
-                             p["to_v"]["kernel"]], axis=1).astype(x_q.dtype)
+        qkv = nn.fused_linear(x_q, [p["to_q"], p["to_k"], p["to_v"]])
         q, k, v = (nn.split_heads(t, n_heads)
-                   for t in jnp.split(x_q @ w, 3, axis=-1))
+                   for t in jnp.split(qkv, 3, axis=-1))
     else:
         q = nn.split_heads(nn.linear(x_q, p["to_q"]), n_heads)
         k = nn.split_heads(nn.linear(x_kv, p["to_k"]), n_heads)

@@ -22,6 +22,14 @@ Three measured optimizations keep VPU work to two passes over the logits
 - padded-key masking is emitted only when the sequence actually pads
   (s % block != 0), so the common power-of-two shapes skip it entirely.
 
+Block sizes default to (2048, 1024), the best of a measured sweep at the
+ds1 shape (s=4096, d=40, b*h=128): 8.52 ms vs 9.07 ms for (1024, 1024) —
+tools/attn_lab.py re-runs the sweep. A software-pipelined variant
+(``pipelined=True``: QK^T of kv-block j issued before the softmax of block
+j-1, ping-pong logits scratch) measured consistently SLOWER (10.7 vs 9.07
+at the default blocks) — Mosaic serializes the predicated stages rather
+than overlapping MXU/VPU across them; kept as a tested negative result.
+
 Layout: (B, H, S, D) -> flattened (B*H, S, D). D is zero-padded to the 128
 lane width (exact: zero key columns don't change q·k, zero value columns are
 sliced off). Sequence is zero-padded to the block size with -inf masking of
@@ -87,12 +95,65 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_pipe(q_ref, k_ref, v_ref, o_ref, s_scr, m_scr, l_scr,
+                       acc_scr, *, s_valid, s_pad, bk, d_valid, fused_l):
+    """Software-pipelined variant: QK^T for kv-block j issues before the
+    softmax+PV of block j-1, so the j QK^T (MXU) and the j-1 softmax (VPU)
+    have no data dependence and the scheduler can overlap the units. The kv
+    grid runs one extra drain step; logits ping-pong through s_scr[2]."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2) - 1
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        if not fused_l:
+            l_scr[:] = jnp.zeros_like(l_scr)
+
+    @pl.when(j < nk)
+    def _():
+        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if s_pad != s_valid:
+            first_key = j * bk
+            key_ids = first_key + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(key_ids < s_valid, s, NEG_INF)
+        s_scr[j % 2] = s
+
+    @pl.when(j > 0)
+    def _():
+        s = s_scr[(j - 1) % 2]
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        if not fused_l:
+            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nk)
+    def _():
+        if fused_l:
+            l = acc_scr[:, d_valid:d_valid + 1]
+        else:
+            l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k", "pipelined"))
+def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=1024,
+                    pipelined=False):
     """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D)."""
     b, h, s, d = q.shape
     if scale is None:
@@ -100,8 +161,21 @@ def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
 
     bq = min(block_q, _round_up(s, 128))
     bk = min(block_k, _round_up(s, 128))
-    s_pad = _round_up(s, max(bq, bk))
     d_pad = _round_up(d, 128)
+    # VMEM-budget clamp: (2048, 1024) wins at the UNet head dims (d_pad=128)
+    # but blows the 16MB scoped VMEM at the VAE decoder's single 512-wide
+    # head (s=4096, d=512 — measured OOM at 21.6M). Estimate logits + acc +
+    # double-buffered q/k/v blocks and halve the larger block until it fits.
+    def _vmem_est(bq_, bk_):
+        return (4 * bq_ * bk_ + 4 * bq_ * d_pad
+                + 2 * 2 * (bq_ + 2 * bk_) * d_pad)
+
+    while _vmem_est(bq, bk) > 14 * 1024 * 1024 and max(bq, bk) > 512:
+        if bq >= bk:
+            bq //= 2
+        else:
+            bk //= 2
+    s_pad = _round_up(s, max(bq, bk))
     # the softmax denominator rides the PV matmul in the lane padding when
     # there is room (always true for the 40/80/160 UNet head dims)
     fused_l = d_pad > d
@@ -118,26 +192,40 @@ def flash_attention(q, k, v, *, scale=None, block_q=1024, block_k=1024):
         col = jnp.zeros((s_pad, d_pad), vf.dtype).at[:s, d].set(1.0)
         vf = vf + col[None]
 
-    grid = (b * h, s_pad // bq, s_pad // bk)
-    kernel = functools.partial(_flash_kernel, s_valid=s, s_pad=s_pad, bk=bk,
-                               d_valid=d, fused_l=fused_l)
+    nk = s_pad // bk
     interpret = jax.default_backend() == "cpu"  # tests run on the CPU mesh
+    common = dict(s_valid=s, s_pad=s_pad, bk=bk, d_valid=d, fused_l=fused_l)
+    scratch = [
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, d_pad), jnp.float32),
+    ]
+    if pipelined:
+        grid = (b * h, s_pad // bq, nk + 1)
+        kernel = functools.partial(_flash_kernel_pipe, **common)
+        # k_j on the compute step, v_{j-1} on the drain side (clamped)
+        k_spec = pl.BlockSpec((1, bk, d_pad),
+                              lambda bh, i, j: (bh, jnp.minimum(j, nk - 1), 0))
+        v_spec = pl.BlockSpec((1, bk, d_pad),
+                              lambda bh, i, j: (bh, jnp.maximum(j - 1, 0), 0))
+        scratch = [pltpu.VMEM((2, bq, bk), jnp.float32)] + scratch
+    else:
+        grid = (b * h, s_pad // bq, nk)
+        kernel = functools.partial(_flash_kernel, **common)
+        k_spec = pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0))
+        v_spec = k_spec
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+            k_spec,
+            v_spec,
         ],
         out_specs=pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, d_pad), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

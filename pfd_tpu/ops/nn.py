@@ -73,32 +73,71 @@ def init_norm(c, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def conv2d(x, p, *, stride=1, padding="SAME", dilation=1, groups=1):
-    """NHWC conv. ``padding`` may be 'SAME', 'VALID', an int, or explicit pairs."""
+    """NHWC conv. ``padding`` may be 'SAME', 'VALID', an int, or explicit pairs.
+
+    A param dict carrying ``kernel_q``/``kernel_scale`` (see ops.quant) runs
+    on the int8 MXU path: dynamic per-tensor activation quant, int8 x int8 ->
+    int32 conv, per-cout dequant.
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
-    kernel = p["kernel"].astype(x.dtype)
-    y = lax.conv_general_dilated(
-        x, kernel,
+    conv_kw = dict(
         window_strides=stride,
         padding=padding,
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
+    if "kernel_q" in p:
+        from pfd_tpu.ops import quant
+        x8, sx = quant.quantize_act(x)
+        y = lax.conv_general_dilated(
+            x8, p["kernel_q"], preferred_element_type=jnp.int32, **conv_kw)
+        y = (y.astype(jnp.float32)
+             * (sx * p["kernel_scale"].astype(jnp.float32))).astype(x.dtype)
+    else:
+        y = lax.conv_general_dilated(x, p["kernel"].astype(x.dtype), **conv_kw)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
 
 
 def linear(x, p):
-    y = x @ p["kernel"].astype(x.dtype)
+    if "kernel_q" in p:
+        from pfd_tpu.ops import quant
+        x8, sx = quant.quantize_act(x)
+        y = lax.dot_general(x8, p["kernel_q"],
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32)
+             * (sx * p["kernel_scale"].astype(jnp.float32))).astype(x.dtype)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def fused_linear(x, ps):
+    """Several no-bias linear layers folded into ONE matmul by concatenating
+    their kernels along the output dim (e.g. the self-attention q|k|v
+    projection). Quantization-aware: if every layer carries int8 weights the
+    concat happens in int8 and the activation is quantized once."""
+    if all("kernel_q" in p for p in ps):
+        from pfd_tpu.ops import quant
+        w8 = jnp.concatenate([p["kernel_q"] for p in ps], axis=1)
+        sw = jnp.concatenate([p["kernel_scale"].astype(jnp.float32)
+                              for p in ps], axis=0)
+        x8, sx = quant.quantize_act(x)
+        y = lax.dot_general(x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    w = jnp.concatenate([p["kernel"] for p in ps], axis=1).astype(x.dtype)
+    return x @ w
 
 
 def group_norm(x, p, *, groups=32, eps=1e-5, norm_dtype=jnp.float32):

@@ -43,13 +43,17 @@ class PromptFreeDiffusionPipeline:
                  tag_ctx="SeeCoder", tag_diffuser="Deliberate-v2.0",
                  tag_ctl="canny", pretrained_root=None, seed=0,
                  with_control=True, self_attn_fn=None, config_override=None,
-                 encoder_interval=1):
+                 encoder_interval=1, quantized=False):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
         self.self_attn_fn = self_attn_fn
         self.config_override = config_override  # dict: tests / custom builds
         self.encoder_interval = encoder_interval  # >1: turbo (output-changing)
+        # int8 serving mode (ops/quant.py): the 50x2-forward diffuser (+ its
+        # ControlNet) runs int8 conv/matmul on the 394-TOPS MXU path; the
+        # once-per-image SeeCoder/VAE stay bf16. SSIM-gated in tests.
+        self.quantized = quantized
         self.ddim_steps = 50
         self.ddim_eta = 0.0
         self.n_sample_image = 1
@@ -61,6 +65,11 @@ class PromptFreeDiffusionPipeline:
 
         self._build_net(pa=(tag_ctx == "SeeCoder-PA"))
         self.params = self.net.init(jax.random.PRNGKey(seed))
+        if self.quantized:
+            from pfd_tpu.ops import quant
+            self.params["diffuser"] = quant.quantize_params(self.params["diffuser"])
+            if "ctl" in self.params:
+                self.params["ctl"] = quant.quantize_params(self.params["ctl"])
         self.sampler = DDIMSampler(self.net)
         self._jit_cache = {}
 
@@ -118,7 +127,11 @@ class PromptFreeDiffusionPipeline:
         path = zoo.resolve(zoo.DIFFUSER_PATH.get(tag), self.root)
         if path is not None and _exists(path):
             sd = loader.load_sd_file(path)
-            self.params["diffuser"] = self._cast(loader.diffuser_sd_to_params(sd))
+            p = self._cast(loader.diffuser_sd_to_params(sd))
+            if self.quantized:
+                from pfd_tpu.ops import quant
+                p = quant.quantize_params(p)
+            self.params["diffuser"] = p
         self.tag_diffuser = tag
         return tag
 
@@ -127,7 +140,11 @@ class PromptFreeDiffusionPipeline:
         path = zoo.resolve(rel, self.root)
         if path is not None and _exists(path):
             sd = loader.load_sd_file(path)
-            self.params["ctl"] = self._cast(loader.ctl_sd_to_params(sd))
+            p = self._cast(loader.ctl_sd_to_params(sd))
+            if self.quantized:
+                from pfd_tpu.ops import quant
+                p = quant.quantize_params(p)
+            self.params["ctl"] = p
         self.tag_ctl = tag
         return tag
 

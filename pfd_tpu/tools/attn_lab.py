@@ -43,19 +43,25 @@ def main():
                        (2048, 512), (1024, 256), (2048, 1024)]:
             if bq > s or bk > s:
                 continue
-            try:
-                sec = timeit(lambda x: fa.flash_attention(
-                    x, x, x, block_q=bq, block_k=bk), q, iters)
-                print(json.dumps({
-                    "case": f"s{s}_d{d}_bq{bq}_bk{bk}",
-                    "ms": round(sec * 1e3, 3),
-                    "mfu_pct": round(100 * f / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
-                    "padded_mfu_pct": round(
-                        100 * f_pad / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
-                }), flush=True)
-            except Exception as e:  # noqa: BLE001 - lab tool, report and go on
-                print(json.dumps({"case": f"s{s}_d{d}_bq{bq}_bk{bk}",
-                                  "error": str(e)[:200]}), flush=True)
+            for pipe in (False, True):
+                try:
+                    sec = timeit(lambda x: fa.flash_attention(
+                        x, x, x, block_q=bq, block_k=bk, pipelined=pipe),
+                        q, iters)
+                    print(json.dumps({
+                        "case": f"s{s}_d{d}_bq{bq}_bk{bk}"
+                                + ("_pipe" if pipe else ""),
+                        "ms": round(sec * 1e3, 3),
+                        "mfu_pct": round(
+                            100 * f / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
+                        "padded_mfu_pct": round(
+                            100 * f_pad / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
+                    }), flush=True)
+                except Exception as e:  # noqa: BLE001 - report and go on
+                    print(json.dumps({
+                        "case": f"s{s}_d{d}_bq{bq}_bk{bk}"
+                                + ("_pipe" if pipe else ""),
+                        "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -43,10 +43,11 @@ def _matmuls(key, b_rows, k, n, iters):
     def dot8(x):
         y = jax.lax.dot_general(x, w8, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        # fold back to the input shape so the timing chain can feed it back
-        # (full-row reduction depends on every output column — no DCE)
-        return x + (jnp.sum(y >> 12, axis=1, keepdims=True) >> 16
-                    ).astype(jnp.int8)
+        # fold back to the input shape so the timing chain can feed it back:
+        # sign-flip rows by the parity of the row sum — depends on every
+        # output column, cannot constant-fold or saturate
+        s = jnp.sum(y, axis=1, keepdims=True)
+        return jnp.where((s & 1) == 0, x, -x)
 
     try:
         sec = timeit(dot8, x8, iters)
@@ -61,7 +62,8 @@ def _matmuls(key, b_rows, k, n, iters):
     def dotb(x):
         y = jax.lax.dot_general(x, wb, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        return x + (jnp.sum(y, axis=1, keepdims=True) * 1e-6).astype(x.dtype)
+        s = jnp.sum(y, axis=1, keepdims=True)
+        return jnp.where(s >= 0, x, -x)
 
     sec = timeit(dotb, xb, iters)
     row(f"xla_dot_bf16_{b_rows}x{k}x{n}", sec, f, 197.0)
@@ -132,7 +134,7 @@ def _pallas_conv(x, kern, acc_t, out_t, ht):
         grid=(b, h // ht),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((3, 3, cin, cout), lambda bb, hh: (0, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, ht, w, cout), lambda bb, hh: (bb, hh, 0)),
+        out_specs=pl.BlockSpec((1, ht, w, cout), lambda bb, hh: (bb, hh, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_t),
         scratch_shapes=[pltpu.VMEM((ht + 2, w2, cin), x.dtype),
                         pltpu.SemaphoreType.DMA((3,))],

@@ -31,3 +31,19 @@ def test_flash_bf16():
     got = flash_attention(q, q, q, block_q=128, block_k=128)
     assert_close(np.asarray(got, np.float32), np.asarray(want, np.float32),
                  rtol=3e-2, atol=3e-2, name="flash bf16")
+
+
+@pytest.mark.parametrize("s,d", [(256, 40), (520, 80), (520, 128)])
+def test_flash_pipelined_matches_xla(s, d):
+    """Software-pipelined kernel (QK^T of block j overlapped with softmax of
+    block j-1) must match the plain online-softmax kernel and XLA."""
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, s, d), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, s, d), jnp.float32)
+    v = jax.random.normal(kv, (2, 3, s, d), jnp.float32)
+
+    want = nn.dot_product_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, pipelined=True)
+    assert_close(got, want, rtol=2e-3, atol=2e-4,
+                 name=f"flash pipelined s={s} d={d}")

@@ -1,0 +1,84 @@
+"""int8 serving mode, end-to-end: SSIM(int8, fp) over the full sampling path.
+
+The int8 path (ops/quant.py) is a different numeric contract than the
+reference's fp16 — its gate is perceptual fidelity at the operating point,
+not tensor-level parity: SSIM between the quantized and the float pipeline
+over the reference-image -> SeeCoder -> CFG-DDIM -> VAE-decode path.
+(float-vs-torch parity is covered by test_e2e_parity/test_e2e_fullsize;
+SSIM vs the torch reference follows transitively.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pfd_tpu import config, registry
+from pfd_tpu.diffusion.ddim import DDIMSampler
+from pfd_tpu.ops import quant
+from pfd_tpu.training.evaluator import ssim
+from tests import ref_utils
+from tests.test_e2e_parity import UNET, VAE, SEECODER
+
+
+def _sample(model, params, ref_img, x_start, steps):
+    c = model.ctx_encode(params, jnp.asarray(ref_img), "image")
+    sampler = DDIMSampler(model)
+    x, _ = sampler.sample(
+        params, jax.random.PRNGKey(0), x_start.shape,
+        x_info={"xt": jnp.asarray(x_start)},
+        c_info={"conditioning": c,
+                "unconditional_conditioning": jnp.zeros_like(c),
+                "unconditional_guidance_scale": 2.0},
+        steps=steps, eta=0.0)
+    return np.asarray(model.vae_decode(params, x, "image"))
+
+
+def test_quantized_sampling_ssim_tiny():
+    model = registry.get("pfd")(
+        vae_cfg_list=[["image", VAE]],
+        ctx_cfg_list=[["image", SEECODER]],
+        diffuser_cfg_list=[["image", UNET]],
+        latent_scale_factor={"image": 0.18215},
+        beta_linear_start=0.00085, beta_linear_end=0.012, timesteps=1000)
+    params = ref_utils.dezero_pytree(model.init(jax.random.PRNGKey(1)))
+
+    rng = np.random.default_rng(5)
+    ref_img = rng.random((1, 64, 64, 3), dtype=np.float32)
+    x_start = rng.standard_normal((1, 16, 16, 4)).astype(np.float32)
+
+    img_fp = _sample(model, params, ref_img, x_start, steps=5)
+
+    qparams = dict(params)
+    qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    img_q = _sample(model, qparams, ref_img, x_start, steps=5)
+
+    assert np.isfinite(img_q).all()
+    s = ssim(img_q[0], img_fp[0], data_range=1.0)
+    print(f"int8-vs-fp SSIM (tiny, 5 steps): {s:.5f}")
+    assert s >= 0.93, f"int8 SSIM {s:.4f}"
+
+
+@pytest.mark.slow
+def test_quantized_sampling_ssim_fullsize():
+    """SD-1.5 UNet at 512^2 / DDIM-50, int8 diffuser vs float diffuser."""
+    cfg = config.model_cfg("pfd_seecoder")["args"]
+    cfg["vae_cfg_list"][0][1]["args"].setdefault("lossconfig", None)
+    cfg["ctx_cfg_list"][0][1]["args"]["imencoder_cfg"]["args"][
+        "drop_path_rate"] = 0.0
+    model = registry.get("pfd")(**cfg)
+    params = ref_utils.dezero_pytree(model.init(jax.random.PRNGKey(1)),
+                                     scale=0.04)
+
+    rng = np.random.default_rng(5)
+    ref_img = rng.random((1, 512, 512, 3), dtype=np.float32)
+    x_start = rng.standard_normal((1, 64, 64, 4)).astype(np.float32)
+
+    img_fp = _sample(model, params, ref_img, x_start, steps=50)
+    qparams = dict(params)
+    qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    img_q = _sample(model, qparams, ref_img, x_start, steps=50)
+
+    s = ssim(img_q[0], img_fp[0], data_range=1.0)
+    print(f"int8-vs-fp SSIM (512^2, DDIM-50): {s:.5f}")
+    assert s >= 0.95, f"int8 full-size SSIM {s:.4f} below the 0.95 gate"
