@@ -63,6 +63,7 @@ def build(with_control=False):
         # int8 serving mode (ops/quant.py; SSIM-gated in tests/test_quant_e2e)
         from pfd_tpu.ops import quant
         params["diffuser"] = quant.quantize_params(params["diffuser"])
+        params["vae"] = quant.quantize_params(params["vae"])
         if "ctl" in params:
             params["ctl"] = quant.quantize_params(params["ctl"])
     return model, params, DDIMSampler(model)

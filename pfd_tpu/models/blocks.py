@@ -43,14 +43,22 @@ def init_res_block(key, cin, cout, emb_ch, dtype):
 
 
 def res_block(p, x, emb, policy: Policy):
-    """x: NHWC, emb: (B, emb_ch). GroupNorm32 eps=1e-5."""
+    """x: NHWC, emb: (B, emb_ch). GroupNorm32 eps=1e-5.
+
+    The out-chain computes GroupNorm(h + emb) as a per-(B, C) affine of h
+    (nn.group_norm_affine): the emb shift folds into the statistics, so the
+    h+emb tensor is never materialized and the affine+SiLU fuse into the
+    conv's input elementwise chain (the separate add/GN cost the ds1
+    ResBlock ~0.8 ms of its 3.0 ms, measured b16 @512^2)."""
     h = nn.group_norm(x, p["in_layers"]["0"], eps=1e-5, norm_dtype=policy.norm_dtype)
     h = nn.silu(h)
     h = nn.conv2d(h, p["in_layers"]["2"], padding=1)
     emb_out = nn.linear(nn.silu(emb), p["emb_layers"]["1"])
-    h = h + emb_out[:, None, None, :].astype(h.dtype)
-    h = nn.group_norm(h, p["out_layers"]["0"], eps=1e-5, norm_dtype=policy.norm_dtype)
-    h = nn.silu(h)
+    op = p["out_layers"]["0"]
+    a, c = nn.group_norm_affine(h, op["scale"], op["bias"], eps=1e-5,
+                                shift=emb_out)
+    hf = h.astype(jnp.float32) * a[:, None, None, :] + c[:, None, None, :]
+    h = nn.silu(hf).astype(h.dtype)
     h = nn.conv2d(h, p["out_layers"]["3"], padding=1)
     if "skip_connection" in p:
         x = nn.conv2d(x, p["skip_connection"], padding=0)
@@ -133,7 +141,14 @@ def basic_transformer_block(p, x, context, n_heads, policy: Policy,
     x = _mha(p["attn1"], h, h, n_heads, policy, attn_fn=self_attn_fn) + x
     h = nn.layer_norm(x, p["norm2"], norm_dtype=policy.norm_dtype)
     kv = context if context is not None else h
-    x = _mha(p["attn2"], h, kv, n_heads, policy) + x
+    # when Pallas kernels are enabled (self_attn_fn set), the short-KV
+    # cross-attention also runs its resident-kv kernel (1.2 -> ~0.4 ms per
+    # ds1 block; XLA round-trips the (S, 148) logits through HBM)
+    cross_fn = None
+    if self_attn_fn is not None:
+        from pfd_tpu.ops.flash_attention import cross_attn_fn
+        cross_fn = cross_attn_fn
+    x = _mha(p["attn2"], h, kv, n_heads, policy, attn_fn=cross_fn) + x
     h = nn.layer_norm(x, p["norm3"], norm_dtype=policy.norm_dtype)
     h = nn.geglu(h, p["ff"]["net"]["0"]["proj"],
                  approximate=getattr(policy, "gelu_approx", False))

@@ -41,36 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def gn_affine(x, scale, bias, *, groups=32, eps=1e-5, shift=None):
-    """Per-(B, C) affine (a, c) equivalent to GroupNorm(x + shift)*scale+bias.
-
-    x: (B, H, W, C); shift: optional (B, C) added channelwise *before* the
-    norm (the ResBlock time-embedding add, folded algebraically so ``x + e``
-    is never materialized). Stats in fp32, matching ops.nn.group_norm.
-    Returns (a, c) fp32 arrays of shape (B, C).
-    """
-    b, h, w, cch = x.shape
-    n_hw = h * w
-    xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=(1, 2))                  # (B, C)
-    s2 = jnp.sum(xf * xf, axis=(1, 2))             # (B, C)
-    if shift is None:
-        e = jnp.zeros((b, cch), jnp.float32)
-    else:
-        e = shift.astype(jnp.float32)
-    cg = cch // groups
-    # per-channel moments of (x + e)
-    m1_c = s1 / n_hw + e
-    m2_c = s2 / n_hw + 2.0 * e * (s1 / n_hw) + e * e
-    m1_g = m1_c.reshape(b, groups, cg).mean(-1)    # (B, G)
-    m2_g = m2_c.reshape(b, groups, cg).mean(-1)
-    var_g = m2_g - m1_g * m1_g
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-    rstd_c = jnp.repeat(rstd_g, cg, axis=1)        # (B, C)
-    mean_c = jnp.repeat(m1_g, cg, axis=1)
-    a = scale.astype(jnp.float32)[None] * rstd_c
-    c = a * (e - mean_c) + bias.astype(jnp.float32)[None]
-    return a, c
+from pfd_tpu.ops.nn import group_norm_affine as gn_affine  # shared with blocks
 
 
 def _kernel(xp_hbm, w_ref, a_ref, c_ref, bias_ref, res_ref, o_ref,

@@ -157,6 +157,41 @@ def group_norm(x, p, *, groups=32, eps=1e-5, norm_dtype=jnp.float32):
     return xf.astype(orig_dtype)
 
 
+def group_norm_affine(x, scale, bias, *, groups=32, eps=1e-5, shift=None):
+    """Per-(B, C) affine (a, c) with ``GroupNorm(x + shift)*scale + bias ==
+    x*a + c`` — GroupNorm reduced to its statistics.
+
+    ``shift`` is an optional (B, C) channelwise add *before* the norm (the
+    ResBlock time-embedding), folded algebraically so ``x + shift`` is never
+    materialized: the affine apply then fuses into the consumer's elementwise
+    chain (measured: the ds1 ResBlock's out-chain loses ~0.8 ms to the
+    emb-add breaking XLA's GN fusion). Stats in fp32 like group_norm.
+    Returns (a, c) fp32 arrays of shape (B, C).
+    """
+    b, cch = x.shape[0], x.shape[-1]
+    n_red = 1
+    for s in x.shape[1:-1]:
+        n_red *= s
+    red_axes = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=red_axes)                # (B, C)
+    s2 = jnp.sum(xf * xf, axis=red_axes)           # (B, C)
+    e = (jnp.zeros((b, cch), jnp.float32) if shift is None
+         else shift.astype(jnp.float32))
+    cg = cch // groups
+    m1_c = s1 / n_red + e                          # per-channel moments of x+e
+    m2_c = s2 / n_red + 2.0 * e * (s1 / n_red) + e * e
+    m1_g = m1_c.reshape(b, groups, cg).mean(-1)    # (B, G)
+    m2_g = m2_c.reshape(b, groups, cg).mean(-1)
+    var_g = m2_g - m1_g * m1_g
+    rstd_g = lax.rsqrt(var_g + eps)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=1)        # (B, C)
+    mean_c = jnp.repeat(m1_g, cg, axis=1)
+    a = scale.astype(jnp.float32)[None] * rstd_c
+    c = a * (e - mean_c) + bias.astype(jnp.float32)[None]
+    return a, c
+
+
 def batch_norm(x, p, *, eps=1e-5):
     """Inference-mode BatchNorm over the channel (last) axis using running
     statistics (torch keys: weight/bias/running_mean/running_var)."""

@@ -50,9 +50,9 @@ class PromptFreeDiffusionPipeline:
         self.self_attn_fn = self_attn_fn
         self.config_override = config_override  # dict: tests / custom builds
         self.encoder_interval = encoder_interval  # >1: turbo (output-changing)
-        # int8 serving mode (ops/quant.py): the 50x2-forward diffuser (+ its
-        # ControlNet) runs int8 conv/matmul on the 394-TOPS MXU path; the
-        # once-per-image SeeCoder/VAE stay bf16. SSIM-gated in tests.
+        # int8 serving mode (ops/quant.py): diffuser + ControlNet + VAE
+        # spatial convs run int8 on the 394-TOPS MXU path; the once-per-image
+        # SeeCoder stays bf16. SSIM-gated in tests/test_quant_e2e.py.
         self.quantized = quantized
         self.ddim_steps = 50
         self.ddim_eta = 0.0
@@ -68,6 +68,7 @@ class PromptFreeDiffusionPipeline:
         if self.quantized:
             from pfd_tpu.ops import quant
             self.params["diffuser"] = quant.quantize_params(self.params["diffuser"])
+            self.params["vae"] = quant.quantize_params(self.params["vae"])
             if "ctl" in self.params:
                 self.params["ctl"] = quant.quantize_params(self.params["ctl"])
         self.sampler = DDIMSampler(self.net)
@@ -150,7 +151,11 @@ class PromptFreeDiffusionPipeline:
 
     def load_vae(self, path):
         sd = loader.load_sd_file(path)
-        self.params["vae"]["image"] = self._cast(loader.vae_sd_to_params(sd))
+        p = self._cast(loader.vae_sd_to_params(sd))
+        if self.quantized:
+            from pfd_tpu.ops import quant
+            p = quant.quantize_params(p)
+        self.params["vae"]["image"] = p
 
     # ---- shape policy (app.py:197-207) --------------------------------------
 

@@ -47,10 +47,20 @@ def _chain_fetch_time(jfn, carry, n):
     return time.perf_counter() - t0
 
 
-def timeit(fn, carry, iters, reps=3):
+def timeit(fn, carry, iters, reps=3, params=None):
     """Mean seconds per fn application, fetch-forced slope method (see module
-    docstring). `fn` must be shape/dtype-preserving (output feeds back)."""
-    jfn = jax.jit(fn)
+    docstring). `fn` must be shape/dtype-preserving (output feeds back).
+
+    Pass big weight pytrees via `params` (fn becomes fn(params, x)) — a fn
+    that *closes over* gigabyte-scale params embeds them as program
+    constants, which reliably kills the axon remote compiler (broken pipe
+    after ~1h); as a traced argument the same program compiles in minutes.
+    """
+    if params is not None:
+        jraw = jax.jit(fn)
+        jfn = lambda x: jraw(params, x)  # noqa: E731
+    else:
+        jfn = jax.jit(fn)
     _fetch(jfn(carry))  # compile via a real fetch
     vals = []
     for _ in range(reps):
@@ -170,26 +180,41 @@ def audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
     t = jnp.full((b,), 500, jnp.int32)
     x0 = jax.random.normal(key, (b, hl, hl, 4), dt)
 
-    def unet_fwd(x, attn):
-        return model.apply_model(params, {"type": "image", "x": x}, t,
-                                 {"type": "image", "c": ctx},
-                                 self_attn_fn=attn)
+    def make_fwd(attn):
+        # params flow in as a traced ARGUMENT (closure-captured GB-scale
+        # constants kill the remote compiler — see timeit docstring)
+        return lambda p, x: model.apply_model(
+            p, {"type": "image", "x": x}, t, {"type": "image", "c": ctx},
+            self_attn_fn=attn)
 
-    sec_full = timeit_dispatch(lambda x: unet_fwd(x, flash), x0)
+    # eps has x's shape/dtype, so the forward chains through the slope timer
+    iters_unet = max(iters // 4, 3)
+    sec_full = timeit(make_fwd(flash), x0, iters_unet, params=params)
     rows.append(report_row(f"unet_fwd_b{b}_flash", sec_full))
-    sec_xla_attn = timeit_dispatch(lambda x: unet_fwd(x, None), x0)
+    sec_xla_attn = timeit(make_fwd(None), x0, iters_unet, params=params)
     rows.append(report_row(f"unet_fwd_b{b}_xla_attn", sec_xla_attn))
     # attention core stubbed out (projections/FF stay): isolates sdpa cost
-    sec_noattn = timeit_dispatch(lambda x: unet_fwd(x, lambda q, k, v: v), x0)
+    sec_noattn = timeit(make_fwd(lambda q, k, v: v), x0, iters_unet,
+                        params=params)
     rows.append(report_row(f"unet_fwd_b{b}_selfattn_stubbed", sec_noattn))
+
+    # int8 serving mode (ops/quant.py): conv int8, everything else identical
+    from pfd_tpu.ops import quant
+
+    qparams = dict(params)
+    qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    sec_int8 = timeit(make_fwd(flash), x0, iters_unet, params=qparams)
+    rows.append(report_row(f"unet_fwd_b{b}_flash_int8", sec_int8))
 
     # ---- once-per-image stages ----------------------------------------------
     img = jax.random.normal(key, (1, size, size, 3), dt)
-    sec = timeit_dispatch(lambda i: model.ctx_encode(params, i, "image"), img)
+    sec = timeit_dispatch(lambda p, i: model.ctx_encode(p, i, "image"),
+                          params, img)
     rows.append(report_row("seecoder_encode_b1", sec))
 
     z = jax.random.normal(key, (n, hl, hl, 4), jnp.float32)
-    sec = timeit_dispatch(lambda z: model.vae_decode(params, z, "image"), z)
+    sec = timeit_dispatch(lambda p, z: model.vae_decode(p, z, "image"),
+                          params, z)
     rows.append(report_row(f"vae_decode_b{n}", sec))
 
     total_step = sec_full

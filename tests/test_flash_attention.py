@@ -47,3 +47,19 @@ def test_flash_pipelined_matches_xla(s, d):
     got = flash_attention(q, k, v, block_q=128, block_k=128, pipelined=True)
     assert_close(got, want, rtol=2e-3, atol=2e-4,
                  name=f"flash pipelined s={s} d={d}")
+
+
+@pytest.mark.parametrize("s,skv,d", [(1024, 148, 40), (520, 77, 80),
+                                     (1024, 148, 128)])
+def test_cross_attention_matches_xla(s, skv, d):
+    """Resident-KV cross-attention kernel vs XLA (kv=148 exercises the
+    non-128-multiple kv masking)."""
+    from pfd_tpu.ops.flash_attention import cross_attention
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, s, d), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, skv, d), jnp.float32)
+    v = jax.random.normal(kv_, (2, 3, skv, d), jnp.float32)
+    want = nn.dot_product_attention(q, k, v)
+    got = cross_attention(q, k, v, block_q=256)
+    assert_close(got, want, rtol=2e-3, atol=2e-4, name=f"cross s={s} kv={skv}")

@@ -51,6 +51,7 @@ def test_quantized_sampling_ssim_tiny():
 
     qparams = dict(params)
     qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    qparams["vae"] = quant.quantize_params(params["vae"])
     img_q = _sample(model, qparams, ref_img, x_start, steps=5)
 
     assert np.isfinite(img_q).all()
