@@ -32,7 +32,8 @@ class DDIMSampler:
         return sched_lib.make_ddim_tables(self.model.schedule, steps, eta=eta)
 
     def sample(self, params, rng, shape, x_info, c_info, steps=50, eta=0.0,
-               temperature=1.0, x_type="image", c_type="image"):
+               temperature=1.0, x_type="image", c_type="image",
+               self_attn_fn=None, encoder_interval=1):
         """Eager-friendly entry; mirrors reference sample() (ddim.py:58-79).
 
         x_info: optional dict with 'xt' (start latent) or
@@ -61,7 +62,8 @@ class DDIMSampler:
 
         return self.sample_fn(params, rng, x, c_info, tables, n_steps,
                               temperature=temperature, x_type=x_type,
-                              c_type=c_type)
+                              c_type=c_type, self_attn_fn=self_attn_fn,
+                              encoder_interval=encoder_interval)
 
     def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
                             steps=50, eta=0.0, temperature=1.0,

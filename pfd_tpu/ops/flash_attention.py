@@ -163,17 +163,23 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "block_q", "block_k", "pipelined"))
+                   static_argnames=("scale", "block_q", "block_k", "pipelined",
+                                    "pad_d"))
 def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=1024,
-                    pipelined=False):
-    """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D)."""
+                    pipelined=False, pad_d=True):
+    """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D).
+
+    pad_d=False skips the HBM materialization of the D -> 128 lane padding
+    (Mosaic pads tiles internally instead) at the cost of the fused-l
+    ones-column trick (a separate VPU row-sum tracks the denominator).
+    """
     b, h, s, d = q.shape
     if scale is None:
         scale = d ** -0.5
 
     bq = min(block_q, _round_up(s, 128))
     bk = min(block_k, _round_up(s, 128))
-    d_pad = _round_up(d, 128)
+    d_pad = _round_up(d, 128) if pad_d else d
     # VMEM-budget clamp: (2048, 1024) wins at the UNet head dims (d_pad=128)
     # but blows the 16MB scoped VMEM at the VAE decoder's single 512-wide
     # head (s=4096, d=512 — measured OOM at 21.6M). Estimate logits + acc +
@@ -237,7 +243,7 @@ def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=1024,
         ],
         out_specs=pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d_pad), q.dtype),
-        scratch_shapes=scratch,
+        scratch_shapes=scratch,  # acc is (bq, d_pad): unpadded when pad_d=False
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

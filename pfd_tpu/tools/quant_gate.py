@@ -1,0 +1,87 @@
+"""int8 serving-mode quality gate at the TRUE operating point, on the TPU.
+
+SSIM between the int8 pipeline (ops/quant.py: diffuser+VAE spatial convs
+int8) and the bf16 pipeline over the full path — SD-1.5-width UNet, 512^2,
+DDIM-50, CFG 2.0, shared random weights and injected noise. bf16-vs-torch
+parity is separately gated by tests/test_e2e_fullsize.py, so this result
+composes: SSIM(int8, torch-fp32) >= SSIM(int8, bf16) - (1 - SSIM(bf16, torch)).
+
+Measured 2026-08-17 on the v5e: **0.99672** (recorded in docs/PARITY.md).
+The CPU slow-suite analogue is tests/test_quant_e2e.py (384^2/DDIM-25 —
+XLA:CPU runs int8 convs too slowly for the 512^2/50 point).
+
+Usage: python -m pfd_tpu.tools.quant_gate   (TPU, ~15 min first compile)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pfd_tpu import config, registry
+from pfd_tpu.diffusion.ddim import DDIMSampler
+from pfd_tpu.ops import quant
+from pfd_tpu.ops.flash_attention import self_attn_fn
+from pfd_tpu.policy import BF16
+from pfd_tpu.training.evaluator import ssim
+
+
+def _dezero(params, key=0, scale=0.04):
+    """Randomize all-zero leaves (zero-init output convs make a fresh-init
+    comparison vacuous — same rationale as tests/ref_utils.dezero_pytree,
+    inlined so the tool has no test-package dependency)."""
+    rng = np.random.default_rng(key)
+
+    def fix(x):
+        x = np.asarray(x)
+        if x.size and not np.any(x):
+            return jnp.asarray(rng.standard_normal(x.shape).astype(x.dtype)
+                               * scale)
+        return jnp.asarray(x)
+
+    return jax.tree.map(fix, params)
+
+
+def main():
+    cfg = config.model_cfg("pfd_seecoder")["args"]
+    cfg["vae_cfg_list"][0][1]["args"].setdefault("lossconfig", None)
+    cfg["ctx_cfg_list"][0][1]["args"]["imencoder_cfg"]["args"][
+        "drop_path_rate"] = 0.0
+    model = registry.get("pfd")(**cfg, policy=BF16)
+    params = _dezero(model.init(jax.random.PRNGKey(1)))
+
+    rng = np.random.default_rng(5)
+    ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
+    x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
+
+    def sample(p):
+        c = model.ctx_encode(p, ref_img, "image")
+        sampler = DDIMSampler(model)
+        x, _ = sampler.sample(
+            p, jax.random.PRNGKey(0), x_start.shape,
+            x_info={"xt": x_start},
+            c_info={"conditioning": c,
+                    "unconditional_conditioning": jnp.zeros_like(c),
+                    "unconditional_guidance_scale": 2.0},
+            steps=50, eta=0.0, self_attn_fn=self_attn_fn)
+        return np.asarray(model.vae_decode(p, x, "image"))
+
+    img_fp = sample(params)
+    print("fp done", flush=True)
+    qparams = dict(params)
+    qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    qparams["vae"] = quant.quantize_params(params["vae"])
+    img_q = sample(qparams)
+    s = ssim(np.clip(img_q[0], 0, 1), np.clip(img_fp[0], 0, 1),
+             data_range=1.0)
+    print(json.dumps({
+        "fullsize_ddim50_ssim_int8_vs_bf16": round(float(s), 5),
+        "finite": bool(np.isfinite(img_q).all()),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

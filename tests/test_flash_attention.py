@@ -63,3 +63,15 @@ def test_cross_attention_matches_xla(s, skv, d):
     want = nn.dot_product_attention(q, k, v)
     got = cross_attention(q, k, v, block_q=256)
     assert_close(got, want, rtol=2e-3, atol=2e-4, name=f"cross s={s} kv={skv}")
+
+
+def test_flash_unpadded_d():
+    """pad_d=False path (no HBM lane-padding; separate-l) matches XLA."""
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, 256, 40), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, 256, 40), jnp.float32)
+    v = jax.random.normal(kv_, (2, 3, 256, 40), jnp.float32)
+    want = nn.dot_product_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, pad_d=False)
+    assert_close(got, want, rtol=2e-3, atol=2e-4, name="flash pad_d=False")
