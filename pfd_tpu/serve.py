@@ -177,8 +177,18 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=11234)
     ap.add_argument("--ui", action="store_true", help="launch gradio UI")
     ap.add_argument("--fp16", action="store_true", default=True)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 serving mode (throughput batches; "
+                         "SSIM-gated, see docs/PARITY.md)")
+    ap.add_argument("--flash", action="store_true", default=True,
+                    help="Pallas attention kernels (self + cross)")
     args = ap.parse_args()
-    pipe = PromptFreeDiffusionPipeline(fp16=args.fp16)
+    attn = None
+    if args.flash:
+        from pfd_tpu.ops.flash_attention import self_attn_fn
+        attn = self_attn_fn
+    pipe = PromptFreeDiffusionPipeline(fp16=args.fp16, quantized=args.int8,
+                                       self_attn_fn=attn)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

@@ -9,6 +9,10 @@ This probe measures, at the ds1/ds4 UNet shapes:
   - XLA `lax.conv_general_dilated` int8 (may be unsupported -> reported)
   - a Pallas nine-shifted-dot conv3x3 in int8 vs bf16 (the fused_conv
     slab/halo structure, stripped to the conv core)
+  - a Pallas blocked int8 matmul (LAB_SECTIONS=pallas_mm) — measured a
+    WASH vs XLA bf16 at the UNet FF shapes (0.305 ms at 8192x320x2560 vs
+    bf16's 0.278-0.386): K=320 is too skinny for the int8 rate to show, so
+    the serving path keeps linears bf16 (see ops/quant._should_quantize)
 
 Usage: python -m pfd_tpu.tools.int8_lab   (TPU)
 """
@@ -177,18 +181,74 @@ def _pallas_convs(key, b, side, cin, cout, iters, ht):
                           "error": str(e)[:300]}), flush=True)
 
 
+# --- Pallas int8 blocked matmul (K fully resident per block pair) ----------
+
+def _mm_kernel(x_ref, w_ref, o_ref):
+    o_ref[0] = jax.lax.dot_general(
+        x_ref[0], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def pallas_matmul_int8(x8, w8, *, bm=512, bn=512):
+    m, k = x8.shape
+    n = w8.shape[1]
+    mp, np_ = -(-m // bm) * bm, -(-n // bn) * bn
+    xp = jnp.pad(x8, ((0, mp - m), (0, 0)))
+    wp = jnp.pad(w8, ((0, 0), (0, np_ - n)))
+    out = pl.pallas_call(
+        _mm_kernel,
+        grid=(mp // bm, np_ // bn),
+        in_specs=[pl.BlockSpec((1, bm, k), lambda i, j: (0, i, 0)),
+                  pl.BlockSpec((1, k, bn), lambda i, j: (0, 0, j))],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((1, mp, np_), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k + k * np_ + mp * np_ * 4,
+            transcendentals=0),
+    )(xp[None], wp[None])
+    return out[0, :m, :n]
+
+
+def _pallas_matmuls(key, m, k, n, iters):
+    f = 2 * m * k * n
+    x8 = jax.random.randint(key, (m, k), -127, 127, jnp.int8)
+    w8 = jax.random.randint(key, (k, n), -127, 127, jnp.int8)
+
+    def run(x):
+        y = pallas_matmul_int8(x, w8)
+        s = jnp.sum(y, axis=1, keepdims=True)
+        return jnp.where((s & 1) == 0, x, -x)
+
+    try:
+        sec = timeit(run, x8, iters)
+        row(f"pallas_mm_int8_{m}x{k}x{n}", sec, f, 394.0)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"case": f"pallas_mm_int8_{m}x{k}x{n}",
+                          "error": str(e)[:300]}), flush=True)
+
+
 def main():
     iters = int(os.environ.get("LAB_ITERS", "20"))
     b = int(os.environ.get("LAB_BATCH", "16"))
     key = jax.random.PRNGKey(0)
-    # GEGLU FF shape at ds1 and a big square matmul
-    _matmuls(key, 4096 * b // 8, 320, 2560, iters)
-    _matmuls(key, 4096, 1280, 1280, iters)
-    # conv at ds1 and ds4 level shapes
-    _xla_conv(key, b, 64, 320, 320, iters)
-    _xla_conv(key, b, 16, 1280, 1280, iters)
-    _pallas_convs(key, b, 64, 320, 320, iters, ht=8)
-    _pallas_convs(key, b, 16, 1280, 1280, iters, ht=8)
+    sections = os.environ.get("LAB_SECTIONS", "dots,convs").split(",")
+    if "dots" in sections:
+        # GEGLU FF shape at ds1 and a big square matmul
+        _matmuls(key, 4096 * b // 8, 320, 2560, iters)
+        _matmuls(key, 4096, 1280, 1280, iters)
+    if "pallas_mm" in sections:
+        _pallas_matmuls(key, 4096 * b // 8, 320, 2560, iters)
+        _pallas_matmuls(key, 4096 * b // 8, 1280, 320, iters)
+        _pallas_matmuls(key, 4096, 1280, 1280, iters)
+    if "convs" in sections:
+        # conv at ds1 and ds4 level shapes
+        _xla_conv(key, b, 64, 320, 320, iters)
+        _xla_conv(key, b, 16, 1280, 1280, iters)
+        _pallas_convs(key, b, 64, 320, 320, iters, ht=8)
+        _pallas_convs(key, b, 16, 1280, 1280, iters, ht=8)
 
 
 if __name__ == "__main__":
