@@ -22,9 +22,11 @@ Three measured optimizations keep VPU work to two passes over the logits
 - padded-key masking is emitted only when the sequence actually pads
   (s % block != 0), so the common power-of-two shapes skip it entirely.
 
-Block sizes default to (2048, 1024), the best of a measured sweep at the
-ds1 shape (s=4096, d=40, b*h=128): 8.52 ms vs 9.07 ms for (1024, 1024) —
-tools/attn_lab.py re-runs the sweep. A software-pipelined variant
+Block sizes default to (2048, 2048), which the VMEM clamp below turns into
+(1024, 2048) at the UNet head dims — the best of the measured sweeps
+(bh=64: 3.59 ms vs 3.75 for (2048,1024) vs 12.9 for (1024,1024)-pipelined;
+tools/attn_lab.py re-runs them) — and into (1024, 1024) at the VAE's
+d=512 head. A software-pipelined variant
 (``pipelined=True``: QK^T of kv-block j issued before the softmax of block
 j-1, ping-pong logits scratch) measured consistently SLOWER (10.7 vs 9.07
 at the default blocks) — Mosaic serializes the predicated stages rather
@@ -165,7 +167,7 @@ def _round_up(x, m):
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "block_k", "pipelined",
                                     "pad_d"))
-def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=1024,
+def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=2048,
                     pipelined=False, pad_d=True):
     """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D).
 
