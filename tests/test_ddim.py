@@ -102,3 +102,58 @@ def test_ddim_loop_parity(ugscale, use_uncond):
 
     assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
                  rtol=5e-3, atol=5e-4, name=f"ddim final latent cfg={ugscale}")
+
+
+def test_img2img_x0_path():
+    """x_info={'x0', 'x0_forward_timesteps'} (reference ddim.py:94-105):
+    q_sample parity vs the reference shell + internal consistency of the
+    sampler's x0 path with a manually q_sample'd xt fed through the xt path
+    (same rng split), truncated to the same step count."""
+    ref_utils.load_reference()
+    import torch
+    from tests.test_unet import make_pair
+
+    ref_unet, _, params_u = make_pair(TINY)
+    shell_ref = make_ref_shell(ref_unet)
+
+    model = registry.get("pfd")(
+        vae_cfg_list=[], ctx_cfg_list=[],
+        diffuser_cfg_list=[["image", {"type": "openai_unet_2d_next",
+                                      "args": TINY}]],
+        beta_linear_start=0.00085, beta_linear_end=0.012, timesteps=1000)
+    params = {"diffuser": {"image": params_u}}
+
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    noise = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    t = jnp.asarray([100, 700], jnp.int32)
+
+    # q_sample parity (shared x0, t, noise)
+    got = model.q_sample(x0, t, jnp.asarray(noise))
+    with torch.no_grad():
+        want = shell_ref.q_sample(
+            torch.from_numpy(np.asarray(x0).transpose(0, 3, 1, 2)),
+            torch.tensor([100, 700]),
+            torch.from_numpy(noise.transpose(0, 3, 1, 2)))
+    assert_close(got, ref_utils.t2n(want).transpose(0, 2, 3, 1),
+                 rtol=1e-5, atol=1e-6, name="q_sample")
+
+    # sampler x0 path == q_sample'd xt through the xt path, same rng
+    sampler = DDIMSampler(model)
+    c = jnp.asarray(rng.standard_normal((2, 9, 64)), jnp.float32)
+    c_info = {"conditioning": c, "unconditional_conditioning": None,
+              "unconditional_guidance_scale": 1.0}
+    steps, k = 10, 4
+    key = jax.random.PRNGKey(7)
+    xa, _ = sampler.sample(params, key, x0.shape,
+                           x_info={"x0": x0, "x0_forward_timesteps": k},
+                           c_info=dict(c_info), steps=steps, eta=0.0)
+    tables = sampler.make_tables(steps, 0.0)
+    rng2, init_rng = jax.random.split(key)
+    ts = jnp.full((2,), int(tables.timesteps[k]), jnp.int32)
+    n2 = jax.random.normal(init_rng, x0.shape, x0.dtype)
+    xt = model.q_sample(x0, ts, n2)
+    xb, _ = sampler.sample_fn(params, rng2, xt, dict(c_info), tables, k)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                               rtol=1e-5, atol=1e-5)
+    assert np.isfinite(np.asarray(xa)).all()
