@@ -156,12 +156,14 @@ def bench_zoo_swap(shared):
     swapped = dict(params)
     swapped["diffuser"] = jax.tree.map(perturb, params["diffuser"])
     swapped["ctx"] = jax.tree.map(perturb, params["ctx"])
-    jax.block_until_ready(swapped)
+    # force the swap's execution with a value fetch (block_until_ready is
+    # unreliable on axon — see _force)
+    _force(jax.tree.leaves(swapped["diffuser"])[0])
     swap_ms = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
     out = fn(swapped, jax.random.PRNGKey(7), ref, None)
-    jax.block_until_ready(out)
+    _force(out)
     first_dt = time.perf_counter() - t0
     emit({"metric": "zoo_swap_first_request_overhead",
           "value": round(max(first_dt - warm_dt, 0.0) * 1e3, 1), "unit": "ms",

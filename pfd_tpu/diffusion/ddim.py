@@ -147,6 +147,16 @@ class DDIMSampler:
         scale = c_info.get("unconditional_guidance_scale", 1.0)
         control = c_info.get("control")
 
+        # Hoist the ControlNet hint pyramid out of the denoise loop: the
+        # 8-conv embedding depends only on the hint image, so compute it once
+        # per request and CFG-tile the latent-res embedding instead of
+        # re-running the pyramid 2x per step (the reference recomputes it
+        # every forward, controlnet.py:302-324). Output-identical.
+        control_embed = None
+        if control is not None and hasattr(model, "ctl"):
+            control_embed = model.ctl.hint_embed(params["ctl"], control)
+            control = None
+
         total = len(tables.timesteps)
         if n_steps is None:
             n_steps = total
@@ -165,39 +175,30 @@ class DDIMSampler:
         b = x.shape[0]
         use_cfg = uncond is not None
 
-        def eps_fn(xt, ts):
-            ci = {"type": c_type, "c": cond}
-            if control is not None:
-                ci["control"] = control
-            if not use_cfg:
-                e_t = model.apply_model(params, {"type": x_type, "x": xt}, ts, ci,
-                                        self_attn_fn=self_attn_fn)
-                # reference quirk ddim.py:140-143
-                return e_t.astype(jnp.float32) * scale
-            x_in = jnp.concatenate([xt, xt], axis=0)
-            t_in = jnp.concatenate([ts, ts], axis=0)
-            c_in = jnp.concatenate([uncond, cond], axis=0)
-            ci = {"type": c_type, "c": c_in}
-            if control is not None:
-                ci["control"] = jnp.concatenate([control, control], axis=0)
-            e = model.apply_model(params, {"type": x_type, "x": x_in}, t_in, ci,
-                                  self_attn_fn=self_attn_fn).astype(jnp.float32)
-            e_uc, e_c = jnp.split(e, 2, axis=0)
-            return e_uc + scale * (e_c - e_uc)
-
         def make_inputs(xt, ts):
             """CFG-doubled (x_in, t_in, c_info_in) or plain."""
             if not use_cfg:
                 ci = {"type": c_type, "c": cond}
-                if control is not None:
+                if control_embed is not None:
+                    ci["control_embed"] = control_embed
+                elif control is not None:
                     ci["control"] = control
                 return xt, ts, ci
             x_in = jnp.concatenate([xt, xt], axis=0)
             t_in = jnp.concatenate([ts, ts], axis=0)
             ci = {"type": c_type, "c": jnp.concatenate([uncond, cond], axis=0)}
-            if control is not None:
+            if control_embed is not None:
+                ci["control_embed"] = jnp.concatenate(
+                    [control_embed, control_embed], axis=0)
+            elif control is not None:
                 ci["control"] = jnp.concatenate([control, control], axis=0)
             return x_in, t_in, ci
+
+        def eps_fn(xt, ts):
+            x_in, t_in, ci = make_inputs(xt, ts)
+            e_t = model.apply_model(params, {"type": x_type, "x": x_in}, t_in,
+                                    ci, self_attn_fn=self_attn_fn)
+            return guide(e_t)
 
         def guide(e):
             e = e.astype(jnp.float32)

@@ -118,16 +118,30 @@ class ControlNet:
             h = nn.silu(h)
         return nn.conv2d(h, p[str(2 * n)], padding=1)
 
-    def apply(self, params, x, hint, timesteps, context, *, self_attn_fn=None):
+    def apply(self, params, x, hint, timesteps, context, *, self_attn_fn=None,
+              hint_is_embedding=False):
         """Returns the 13 residual tensors (controlnet.py:302-324). ``hint``
-        may be the raw hint image or None for the no-control path."""
+        may be the raw hint image, a precomputed latent-res embedding
+        (``hint_is_embedding=True``), or None for the no-control path.
+
+        The embedding form is the TPU-first hoist SURVEY §7 anticipates: the
+        reference recomputes the 8-conv hint pyramid on every forward
+        (controlnet.py:302-324), but it depends only on the hint image, so
+        the sampler computes it once per request outside the DDIM scan and
+        CFG-tiles the (B, H/8, W/8, 320) embedding instead of the full-res
+        image — output-identical (tests/test_controlnet.py)."""
         pol = self.policy
         x = pol.cast(x)
         context = pol.cast(context)
         emb = blocks.time_embed(params["time_embed"], timesteps,
                                 self.model_channels, pol.compute_dtype)
 
-        guided = self.hint_embed(params, hint) if hint is not None else None
+        if hint is None:
+            guided = None
+        elif hint_is_embedding:
+            guided = pol.cast(hint)
+        else:
+            guided = self.hint_embed(params, hint)
 
         outs = []
         h = x

@@ -156,11 +156,13 @@ class PromptFreeDiffusion:
         encoder-propagation sampling."""
         x_type, c_type = x_info["type"], c_info["type"]
         residuals = None
-        hint = c_info.get("control")
+        embed = c_info.get("control_embed")
+        hint = embed if embed is not None else c_info.get("control")
         if hint is not None and hasattr(self, "ctl"):
             residuals = self.ctl.apply(params["ctl"], x_info["x"], hint,
                                        timesteps, c_info["c"],
-                                       self_attn_fn=self_attn_fn)
+                                       self_attn_fn=self_attn_fn,
+                                       hint_is_embedding=embed is not None)
         merged = self._merged_diffuser_params(params, x_type, c_type)
         return self.diffuser[x_type].apply_encoder(
             merged, x_info["x"], timesteps, c_info["c"],
@@ -311,12 +313,14 @@ class PromptFreeDiffusionWithControl(PromptFreeDiffusion):
     def apply_model(self, params, x_info, timesteps, c_info, *, self_attn_fn=None):
         x_type, x = x_info["type"], x_info["x"]
         c_type, c = c_info["type"], c_info["c"]
-        hint = c_info.get("control", None)
+        embed = c_info.get("control_embed")
+        hint = embed if embed is not None else c_info.get("control")
 
         residuals = None
         if hint is not None:
             residuals = self.ctl.apply(params["ctl"], x, hint, timesteps, c,
-                                       self_attn_fn=self_attn_fn)
+                                       self_attn_fn=self_attn_fn,
+                                       hint_is_embedding=embed is not None)
 
         glayer = x_type if self.global_layer_ptr is None else self.global_layer_ptr
         unet = self.diffuser[x_type]

@@ -124,11 +124,17 @@ def conv3x3_fused(x, kernel, a, c, bias, residual=None, *, interpret=False):
     budget = 8 * 1024 * 1024
     cout_t = cout
     if 9 * cin * cout * x.dtype.itemsize > budget:
-        cout_t = 128
-        for t in range(cout - 128, 0, -128):
-            if cout % t == 0 and 9 * cin * t * x.dtype.itemsize <= budget:
-                cout_t = t
-                break
+        # candidate tiles: multiples of 128 that exactly divide cout,
+        # largest fitting the budget first (a non-dividing tile would
+        # silently truncate the grid to cout // cout_t tiles)
+        divisors = [t for t in range(128, cout + 1, 128) if cout % t == 0]
+        assert divisors, (
+            f"cout={cout} has no 128-multiple divisor; pad cout before "
+            "calling conv3x3_fused")
+        cout_t = max(
+            [t for t in divisors
+             if 9 * cin * t * x.dtype.itemsize <= budget] or divisors[:1])
+    assert cout % cout_t == 0, (cout, cout_t)
     ht = _pick_ht(h, w, cin, cout_t, x.dtype.itemsize)
     nh = h // ht
     ncout = cout // cout_t

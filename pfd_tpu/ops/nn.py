@@ -136,6 +136,10 @@ def fused_linear(x, ps):
         y = lax.dot_general(x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
         return (y.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+    assert not any("kernel_q" in p for p in ps), (
+        "fused_linear: mixed quantized/bf16 members — quantize all or none "
+        "of the fused layers (quantize_params never produces this; check "
+        "_should_quantize rules)")
     w = jnp.concatenate([p["kernel"] for p in ps], axis=1).astype(x.dtype)
     return x @ w
 

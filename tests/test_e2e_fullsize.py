@@ -9,6 +9,8 @@ at DDIM-50 against the reference's own torch modules run on CPU fp32.
 Very slow (~100 full-size CFG UNet forwards per side on CPU); slow-marked.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,6 +94,18 @@ def test_e2e_fullsize_ddim50_ssim():
             eta=0.0, verbose=False)
         img_ref = ref_net.vae_decode(x_ref, which="image")
     img_ref = ref_utils.t2n(img_ref).transpose(0, 2, 3, 1)
+
+    # Cache the expensive torch-side outputs (hours on one CPU core) so the
+    # TPU serving-config gates (tools/e2e_gate.py) can compare bf16 / int8 /
+    # encoder-propagation variants directly against torch-fp32 without
+    # re-running the reference. The weights themselves are regenerated
+    # deterministically (seed_all(0) + randomize_params(seed=42)).
+    cache_dir = os.environ.get("PFD_REF_CACHE")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(os.path.join(cache_dir, "e2e_fullsize_ref.npz"),
+                 img_ref=img_ref, x_ref=ref_utils.t2n(x_ref),
+                 c_ref=ref_utils.t2n(c_ref))
 
     # ---- pfd_tpu path, identical weights/noise
     c = model.ctx_encode(params, jnp.asarray(ref_img), "image")
