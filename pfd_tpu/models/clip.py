@@ -114,46 +114,138 @@ class CLIPTextContextEncoder:
         return self.encode_tokens(params, tokens)
 
 
+def hf_clip_vision_forward(vm, pixels, *, heads, act="quick_gelu",
+                           vtoken_mask=None, position_agnostic=False,
+                           eps=1e-5):
+    """HF CLIP vision tower forward from a (converted) param tree — the
+    self-contained compute path for the image context encoders, mirroring
+    ``hf_clip_text_forward``. ``pixels``: (B, H, W, 3), already resized and
+    CLIP-normalized. Returns last_hidden_state (B, 1 + grid^2, C) WITHOUT
+    post_layernorm (HF semantics; the reference applies ln_post to all
+    tokens itself, clip.py:180).
+
+    ``vtoken_mask`` multiplies the embeddings before the encoder — the
+    functional equivalent of the reference's monkey-patched
+    customized_embedding_forward (clip.py:209-227). ``position_agnostic``
+    replaces grid position embeddings by their mean (clip.py:264-279)."""
+    from pfd_tpu.ops import nn as pnn
+
+    emb = vm["embeddings"]
+    x = pnn.conv2d(pixels, emb["patch_embedding"],
+                   stride=emb["patch_embedding"]["kernel"].shape[0], padding=0)
+    b, gh, gw, c = x.shape
+    x = x.reshape(b, gh * gw, c)
+    cls = jnp.broadcast_to(emb["class_embedding"].reshape(1, 1, c), (b, 1, c))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = emb["position_embedding"]["embedding"][:x.shape[1]]
+    if position_agnostic:
+        pos = jnp.concatenate(
+            [pos[0:1], jnp.tile(pos[1:].mean(0, keepdims=True),
+                                (pos.shape[0] - 1, 1))], axis=0)
+    x = x + pos
+    if vtoken_mask is not None:
+        x = x * vtoken_mask.astype(x.dtype)
+    x = pnn.layer_norm(x, vm["pre_layrnorm"], eps=eps)  # HF's spelling
+
+    def mha(p, h):
+        q = pnn.split_heads(pnn.linear(h, p["q_proj"]), heads)
+        k = pnn.split_heads(pnn.linear(h, p["k_proj"]), heads)
+        v = pnn.split_heads(pnn.linear(h, p["v_proj"]), heads)
+        o = pnn.dot_product_attention(q, k, v, scale=q.shape[-1] ** -0.5)
+        return pnn.linear(pnn.merge_heads(o), p["out_proj"])
+
+    for i in range(len(vm["encoder"]["layers"])):
+        p = vm["encoder"]["layers"][str(i)]
+        h = pnn.layer_norm(x, p["layer_norm1"], eps=eps)
+        x = x + mha(p["self_attn"], h)
+        h = pnn.layer_norm(x, p["layer_norm2"], eps=eps)
+        h = pnn.linear(h, p["mlp"]["fc1"])
+        h = (h * jax.nn.sigmoid(1.702 * h)) if act == "quick_gelu" \
+            else jax.nn.gelu(h, approximate=False)
+        x = x + pnn.linear(h, p["mlp"]["fc2"])
+    return x
+
+
+def init_clip_vision(key, *, hidden=1024, layers=24, heads=16, patch=14,
+                     image_size=224, intermediate=4096, projection_dim=768,
+                     dtype=jnp.float32):
+    """Random-init HF-layout CLIP vision tree (ViT-L/14 defaults) — tests and
+    offline use; production loads converted checkpoints (io/convert)."""
+    from pfd_tpu.ops import nn as pnn
+
+    keys = iter(jax.random.split(key, 6 * layers + 8))
+    grid = image_size // patch
+    lyrs = {}
+    for i in range(layers):
+        lyrs[str(i)] = {
+            "layer_norm1": pnn.init_norm(hidden, dtype),
+            "self_attn": {n: pnn.init_linear(next(keys), hidden, hidden, dtype)
+                          for n in ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "layer_norm2": pnn.init_norm(hidden, dtype),
+            "mlp": {"fc1": pnn.init_linear(next(keys), hidden, intermediate, dtype),
+                    "fc2": pnn.init_linear(next(keys), intermediate, hidden, dtype)},
+        }
+    vm = {
+        "embeddings": {
+            "class_embedding": jax.random.normal(next(keys), (hidden,), dtype) * 0.02,
+            "patch_embedding": {"kernel": jax.random.normal(
+                next(keys), (patch, patch, 3, hidden), dtype) * 0.02},
+            "position_embedding": {"embedding": jax.random.normal(
+                next(keys), (grid * grid + 1, hidden), dtype) * 0.01},
+        },
+        "pre_layrnorm": pnn.init_norm(hidden, dtype),
+        "encoder": {"layers": lyrs},
+        "post_layernorm": pnn.init_norm(hidden, dtype),
+    }
+    return {"vision_model": vm,
+            "visual_projection": {"kernel": jax.random.normal(
+                next(keys), (hidden, projection_dim), dtype) * 0.02}}
+
+
 @registry.register("clip_image_context_encoder")
 class CLIPImageContextEncoder:
     """CLIP image tokens, post-LN + visual projection, cls-pooled norm scaling;
     optional mask weighting (reference clip.py:150-257).
 
-    The reference implements masking by monkey-patching the torch embedding
-    forward (clip.py:206-227); here the same math is a pure function."""
+    Fully self-contained: the tower forward is ``hf_clip_vision_forward``
+    over a converted param tree (io/convert.clip_text_sd_to_params handles
+    vision keys too), so no HF checkout or network is needed — the same
+    treatment the text side got in round 2. The reference implements masking
+    by monkey-patching the torch embedding forward (clip.py:206-227); here
+    the same math is two pure multiplies (embedding-level and output-level,
+    both applied, as in the reference)."""
 
-    def __init__(self, version="openai/clip-vit-large-patch14", policy=None, **kw):
+    position_agnostic = False
+
+    def __init__(self, version="openai/clip-vit-large-patch14", heads=16,
+                 act="quick_gelu", image_size=224, policy=None, **kw):
         self.version = version
-        self._tok = self._model = None
-
-    def _load(self):
-        if self._model is None:
-            self._tok, self._model = _lazy_flax_clip(self.version, "full")
+        self.heads = heads
+        self.act = act
+        self.image_size = image_size
 
     def init(self, key):
-        self._load()
-        return self._model.params
+        return init_clip_vision(key)
 
-    @staticmethod
-    def _preprocess(images):
-        """(B, H, W, 3) [0,1] -> CLIP pixel_values (B, 3, 224, 224)."""
+    def _preprocess(self, images):
+        """(B, H, W, 3) [0,1] -> CLIP-normalized (B, 224, 224, 3)."""
         mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
         std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        n = self.image_size
         x = jax.image.resize(jnp.asarray(images, jnp.float32),
-                             (images.shape[0], 224, 224, 3), "bicubic")
-        x = (x - mean) / std
-        return x.transpose(0, 3, 1, 2)
+                             (images.shape[0], n, n, 3), "bicubic")
+        return (x - mean) / std
 
     def _encode_pixels(self, params, pixels, vtoken_mask=None):
-        m = self._model.module.bind({"params": params})
-        out = m.vision_model(pixel_values=pixels)
-        z = out.last_hidden_state
-        # note: FlaxCLIPVisionTransformer applies post_layernorm only to the
-        # pooled output; reference applies it to all tokens (clip.py:180)
-        ln = params["vision_model"]["post_layernorm"]
-        mu = z.mean(-1, keepdims=True)
-        var = jnp.var(z, axis=-1, keepdims=True)
-        z = (z - mu) * jax.lax.rsqrt(var + 1e-5) * ln["scale"] + ln["bias"]
+        z = hf_clip_vision_forward(params["vision_model"], pixels,
+                                   heads=self.heads, act=self.act,
+                                   vtoken_mask=vtoken_mask,
+                                   position_agnostic=self.position_agnostic
+                                   and vtoken_mask is None)
+        from pfd_tpu.ops import nn as pnn
+
+        # reference applies post_layernorm to ALL tokens (clip.py:180)
+        z = pnn.layer_norm(z, params["vision_model"]["post_layernorm"])
         z = z @ params["visual_projection"]["kernel"]
         z_pooled = z[:, 0:1]
         z = z / jnp.linalg.norm(z_pooled, axis=-1, keepdims=True)
@@ -162,15 +254,17 @@ class CLIPImageContextEncoder:
         return z
 
     def encode(self, params, images, masks=None):
-        self._load()
-        pixels = self._preprocess(np.asarray(images))
+        images = np.asarray(images)
         if masks is None:
-            return self._encode_pixels(params, pixels)
-        # mask weighting (clip.py:188-233): average mask per vision token
+            return self._encode_pixels(params, self._preprocess(images))
+        # mask weighting (clip.py:187-230): mask the pixels, weight the
+        # embeddings AND the output tokens by the per-token mask average
         masks = jnp.clip(jnp.asarray(masks, jnp.float32), 0, 1)  # (B,H,W,1)
-        images = np.asarray(images) * np.asarray(masks)
-        pixels = self._preprocess(images)
-        m224 = jax.image.resize(masks, (masks.shape[0], 224, 224, 1), "bilinear")
+        if bool(jnp.all(masks == 1.0)):
+            return self._encode_pixels(params, self._preprocess(images))
+        pixels = self._preprocess(images * np.asarray(masks))
+        n = self.image_size
+        m224 = jax.image.resize(masks, (masks.shape[0], n, n, 1), "bilinear")
         patch = params["vision_model"]["embeddings"]["patch_embedding"]["kernel"]
         ph, pw = patch.shape[0], patch.shape[1]
         pooled = jax.lax.reduce_window(m224[..., 0], 0.0, jax.lax.add,
@@ -525,6 +619,125 @@ class OpenCLIPCustomTokenizerV3(OpenCLIPCustomTokenizerV2):
         return super().encode(params, text)
 
 
+@registry.register("openclip_image_context_encoder")
+class OpenCLIPImageEmbedder:
+    """OpenCLIP visual tower (reference clip.py:400-492,
+    FrozenOpenCLIPImageEmbedder over ViT-H/14): conv1 patches + class token +
+    positional embedding, ln_pre, pre-norm transformer, ln_post over ALL
+    tokens, optional projection, then normalization by the cls-token norm.
+    Self-contained functional forward (open_clip is absent here AND for the
+    reference — behavior-level tests, like the OpenCLIP text encoders).
+
+    Reference quirk preserved: `_encode_wmask` pools the INVERTED mask
+    (conv2d(1 - masks), clip.py:478) into the token weighting and zeroes the
+    cls token — replicated as-is (dead in the live config; ledgered in
+    docs/PARITY.md)."""
+
+    def __init__(self, arch="ViT-H-14", version=None, width=1280, layers=32,
+                 heads=16, patch=14, image_size=224, embed_dim=1024,
+                 act="gelu", policy=None, **kw):
+        self.width = width
+        self.layers = layers
+        self.heads = heads
+        self.patch = patch
+        self.image_size = image_size
+        self.embed_dim = embed_dim
+        self.act = act  # laion ViT-H-14 uses exact GELU (not QuickGELU)
+
+    def init(self, key):
+        return init_openclip_visual(
+            key, width=self.width, layers=self.layers, patch=self.patch,
+            image_size=self.image_size, embed_dim=self.embed_dim)
+
+    def _preprocess(self, images):
+        mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        n = self.image_size
+        x = jax.image.resize(jnp.asarray(images, jnp.float32),
+                             (images.shape[0], n, n, 3), "bicubic")
+        return (x - mean) / std
+
+    def _tower(self, params, pixels):
+        from pfd_tpu.ops import nn as pnn
+
+        x = pnn.conv2d(pixels, {"kernel": params["conv1"]["kernel"]},
+                       stride=self.patch, padding=0)
+        b, gh, gw, c = x.shape
+        x = x.reshape(b, gh * gw, c)
+        cls = jnp.broadcast_to(params["class_embedding"].reshape(1, 1, c),
+                               (b, 1, c))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["positional_embedding"][:x.shape[1]]
+        x = pnn.layer_norm(x, params["ln_pre"])
+        for i in range(self.layers):
+            p = params["transformer"]["resblocks"][str(i)]
+            h = pnn.layer_norm(x, p["ln_1"])
+            x = x + pnn.torch_mha(h, h, p["attn"], self.heads)
+            h = pnn.layer_norm(x, p["ln_2"])
+            h = pnn.linear(h, p["mlp"]["c_fc"])
+            h = (h * jax.nn.sigmoid(1.702 * h)) if self.act == "quick_gelu" \
+                else jax.nn.gelu(h, approximate=False)
+            x = x + pnn.linear(h, p["mlp"]["c_proj"])
+        x = pnn.layer_norm(x, params["ln_post"])
+        if params.get("proj") is not None:
+            x = x @ params["proj"]
+        x_pool = x[:, 0, :]
+        return x / jnp.linalg.norm(x_pool, axis=1, keepdims=True)[:, None, :]
+
+    def _encode(self, params, images):
+        return self._tower(params, self._preprocess(np.asarray(images)))
+
+    def _encode_wmask(self, params, images, masks):
+        z = self._encode(params, images)
+        masks = jnp.clip(jnp.asarray(masks, jnp.float32), 0, 1)  # (B,H,W,1)
+        n = self.image_size
+        m = jax.image.resize(masks, (masks.shape[0], n, n, 1), "bilinear")
+        ph = pw = self.patch
+        # reference clip.py:478 pools the INVERTED mask — kept verbatim
+        pooled = jax.lax.reduce_window((1.0 - m)[..., 0], 0.0, jax.lax.add,
+                                       (1, ph, pw), (1, ph, pw), "VALID")
+        vtoken = pooled.reshape(masks.shape[0], -1, 1) / (ph * pw)
+        z = z.at[:, 1:, :].multiply(vtoken.astype(z.dtype))
+        return z.at[:, 0, :].set(0.0)
+
+    def encode(self, params, images, masks=None):
+        if masks is None:
+            return self._encode(params, images)
+        return self._encode_wmask(params, images, masks)
+
+
+def init_openclip_visual(key, *, width=1280, layers=32, patch=14,
+                         image_size=224, embed_dim=1024, dtype=jnp.float32):
+    """Random-init OpenCLIP visual tower (open_clip state-dict names)."""
+    from pfd_tpu.ops import nn as pnn
+
+    keys = iter(jax.random.split(key, 4 * layers + 8))
+    grid = image_size // patch
+    blocks = {}
+    for i in range(layers):
+        blocks[str(i)] = {
+            "ln_1": pnn.init_norm(width, dtype),
+            "attn": {"in_proj": {"kernel": pnn.init_linear(
+                         next(keys), width, 3 * width, dtype)["kernel"],
+                     "bias": jnp.zeros((3 * width,), dtype)},
+                     "out_proj": pnn.init_linear(next(keys), width, width, dtype)},
+            "ln_2": pnn.init_norm(width, dtype),
+            "mlp": {"c_fc": pnn.init_linear(next(keys), width, 4 * width, dtype),
+                    "c_proj": pnn.init_linear(next(keys), 4 * width, width, dtype)},
+        }
+    return {
+        "conv1": {"kernel": jax.random.normal(
+            next(keys), (patch, patch, 3, width), dtype) * 0.02},
+        "class_embedding": jax.random.normal(next(keys), (width,), dtype) * 0.02,
+        "positional_embedding": jax.random.normal(
+            next(keys), (grid * grid + 1, width), dtype) * 0.01,
+        "ln_pre": pnn.init_norm(width, dtype),
+        "transformer": {"resblocks": blocks},
+        "ln_post": pnn.init_norm(width, dtype),
+        "proj": jax.random.normal(next(keys), (width, embed_dim), dtype) * 0.02,
+    }
+
+
 def init_openclip_text(key, num_layers=24, width=1024, heads=16, vocab=49408,
                        n_ctx=77, embed_dim=1024, dtype=jnp.float32):
     """Random-init OpenCLIP text tower (tests; production loads checkpoints)."""
@@ -554,15 +767,9 @@ def init_openclip_text(key, num_layers=24, width=1024, heads=16, vocab=49408,
 @registry.register("clip_image_context_encoder_position_agnostic")
 class CLIPImageContextEncoderPA(CLIPImageContextEncoder):
     """Position-agnostic variant: grid position embeddings replaced by their
-    mean (reference clip.py:259-286). Implemented by editing the embedding
-    table functionally instead of patching the module."""
+    mean at encode time (reference clip.py:259-286, a permanent monkey-patch
+    there; a forward-time flag here). Reference quirk preserved: its masked
+    path temporarily re-patches the embedding forward with the NON-PA masked
+    version (clip.py:222-227 overrides the PA patch), so masks disable PA."""
 
-    def init(self, key):
-        params = super().init(key)
-        emb = params["vision_model"]["embeddings"]["position_embedding"]["embedding"]
-        pa = jnp.concatenate(
-            [emb[0:1], jnp.tile(emb[1:].mean(0, keepdims=True), (emb.shape[0] - 1, 1))],
-            axis=0)
-        params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy ok
-        params["vision_model"]["embeddings"]["position_embedding"]["embedding"] = pa
-        return params
+    position_agnostic = True

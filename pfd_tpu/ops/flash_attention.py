@@ -160,24 +160,138 @@ def _flash_kernel_pipe(q_ref, k_ref, v_ref, o_ref, s_scr, m_scr, l_scr,
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
+INT_NEG = -(2 ** 30)
+LOG2_127 = 6.988684686772166  # log2(127)
+
+
+def _flash_kernel_pv8(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
+                      s_valid, s_pad, bk, d_valid):
+    """bf16 QK^T + int8 PV flash attention. The full-int8 kernel
+    (_flash_kernel_int8) measured SLOWER than bf16 (4.31 vs 3.73 ms at the
+    ds1 shape): its int->float convert and dequant-scale multiply on the
+    (bq, bk) logits serialize with the MXU dots (Mosaic schedules kernel
+    stages in program order). This variant adds ZERO elementwise ops over
+    the logits: p127 = exp2(s - (m - log2 127)) reuses the existing
+    subtract, the f32->int8 convert replaces the f32->bf16 one, and only
+    the PV dot switches to the 394-TOPS int8 path. v is per-tensor int8
+    with the denominator ones-column (value 1) riding in the lane padding;
+    the 127 scaling cancels in the final acc/l division, leaving one sv
+    multiply outside the kernel."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                       # (bq, d_pad), pre-scaled by scale*log2e
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    if s_pad != s_valid:
+        first_key = j * bk
+        key_ids = first_key + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < s_valid, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    # p8 = round(127 * exp2(s - m_new)) in [0, 127]; the *127 rides the
+    # existing subtract as -(m_new - log2 127). The +0.5 round is the one
+    # extra logit-shaped op — truncation measured 29% max error on diffuse
+    # attention (the summed truncated mass competes with the retained mass)
+    p8 = (jnp.exp2(s - (m_new - LOG2_127)) + 0.5).astype(jnp.int8)
+
+    pv = jax.lax.dot_general(p8, v_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    acc_scr[:] = acc_scr[:] * alpha + pv.astype(jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = acc_scr[:, d_valid:d_valid + 1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _flash_kernel_int8(q_ref, k_ref, v_ref, c_ref, o_ref, m_scr, acc_scr, *,
+                       s_valid, s_pad, bk, d_valid):
+    """int8 flash attention: QK^T and PV run as int8 x int8 -> int32 MXU dots
+    (394 TOPS on the v5e — 2x the bf16 rate at the same d -> 128 lane
+    padding, which is the measured 31%%-MFU floor of the bf16 kernel at the
+    UNet's d=40 heads).
+
+    q, k, v are per-tensor symmetric int8 (quantized outside); the combined
+    dequant scale ``c = sq * sk * scale * log2(e)`` arrives via SMEM so the
+    softmax runs directly on integer logits: ``p*127 = exp2((s_i32 - m_i32)
+    * c + log2 127)``, rounded to int8 for the PV dot. The denominator rides
+    the PV matmul as a ones-column in v8 (value 1), so ``l`` accumulates in
+    the SAME p8 domain as the numerator — the 127 scaling and the p8
+    rounding cancel exactly in the final division. Only the fp32 ``v`` scale
+    remains, applied outside the kernel (one fused XLA multiply on (s, d))."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    c = c_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, INT_NEG)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+
+    if s_pad != s_valid:
+        first_key = j * bk
+        key_ids = first_key + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_ids < s_valid, s, INT_NEG)
+
+    m_prev = m_scr[:, :1]                       # int32 (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2((m_prev - m_new).astype(jnp.float32) * c)
+    # p8 = round(127 * exp2((s - m) * c)); in [0, 127] so the +0.5 truncating
+    # convert is an exact round and needs no clip
+    pf = (s - m_new).astype(jnp.float32) * c + LOG2_127
+    p8 = (jnp.exp2(pf) + 0.5).astype(jnp.int8)
+
+    pv = jax.lax.dot_general(p8, v_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    acc_scr[:] = acc_scr[:] * alpha + pv.astype(jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _():
+        l = acc_scr[:, d_valid:d_valid + 1]     # sum of p8 via the ones-column
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "block_k", "pipelined",
-                                    "pad_d"))
+                                    "pad_d", "quant"))
 def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=2048,
-                    pipelined=False, pad_d=True):
+                    pipelined=False, pad_d=True, quant=False):
     """q, k, v: (B, H, S, D) self-attention (Sq == Sk). Returns (B, H, S, D).
 
     pad_d=False skips the HBM materialization of the D -> 128 lane padding
     (Mosaic pads tiles internally instead) at the cost of the fused-l
     ones-column trick (a separate VPU row-sum tracks the denominator).
+
+    quant=True runs QK^T and PV as int8 MXU dots (_flash_kernel_int8) with
+    per-tensor symmetric quantization of q/k/v — opt-in, SSIM-gated
+    (tools/e2e_gate.py); requires a lane-padded head dim (D %% 128 != 0,
+    true for all UNet heads) for the denominator ones-column.
     """
     b, h, s, d = q.shape
     if scale is None:
         scale = d ** -0.5
+    if quant and d % 128 == 0:
+        quant = False  # no lane padding to carry the l column; bf16 path
 
     bq = min(block_q, _round_up(s, 128))
     bk = min(block_k, _round_up(s, 128))
@@ -196,6 +310,75 @@ def flash_attention(q, k, v, *, scale=None, block_q=2048, block_k=2048,
         else:
             bk //= 2
     s_pad = _round_up(s, max(bq, bk))
+
+    if quant:
+        from pfd_tpu.ops import quant as quant_lib
+
+        mode = "full" if quant is True else quant
+        assert mode in ("full", "pv"), quant
+        d_pad = _round_up(d, 128)
+        LOG2E = 1.4426950408889634
+        v8, sv = quant_lib.quantize_act(v)
+        interpret = jax.default_backend() == "cpu"
+
+        def prep(x, dtype=None):
+            x = x.reshape(b * h, s, d)
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+            return x if dtype is None else x.astype(dtype)
+
+        # denominator ones-column: 1 in the p8 domain, valid rows only
+        col = jnp.zeros((s_pad, d_pad), jnp.int8).at[:s, d].set(1)
+        v8 = prep(v8) + col[None]
+
+        if mode == "full":
+            q8, sq = quant_lib.quantize_act(q)
+            k8, sk = quant_lib.quantize_act(k)
+            c = (sq * sk * jnp.float32(scale * LOG2E)).reshape(1)
+            args = (prep(q8), prep(k8), v8, c)
+            kernel = functools.partial(_flash_kernel_int8, s_valid=s,
+                                       s_pad=s_pad, bk=bk, d_valid=d)
+            in_specs = [
+                pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
+            m_scratch = pltpu.VMEM((bq, 128), jnp.int32)
+        else:  # pv: bf16 QK^T, int8 PV
+            qf = prep(q * jnp.asarray(scale * LOG2E, q.dtype))
+            args = (qf, prep(k), v8)
+            kernel = functools.partial(_flash_kernel_pv8, s_valid=s,
+                                       s_pad=s_pad, bk=bk, d_valid=d)
+            in_specs = [
+                pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, bk, d_pad), lambda bh, i, j: (bh, j, 0)),
+            ]
+            m_scratch = pltpu.VMEM((bq, 128), jnp.float32)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * h, s_pad // bq, s_pad // bk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, d_pad), lambda bh, i, j: (bh, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d_pad), q.dtype),
+            scratch_shapes=[
+                m_scratch,
+                pltpu.VMEM((bq, d_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s_pad * s_pad * d_pad,
+                bytes_accessed=(b * h * s_pad * d_pad) * 3,
+                transcendentals=b * h * s_pad * s_pad,
+            ),
+            interpret=interpret,
+        )(*args)
+        out = out[:, :s, :d].astype(jnp.float32) * sv
+        return out.astype(q.dtype).reshape(b, h, s, d)
+
     # the softmax denominator rides the PV matmul in the lane padding when
     # there is room (always true for the 40/80/160 UNet head dims)
     fused_l = d_pad > d
@@ -345,4 +528,17 @@ def self_attn_fn(q, k, v, *, min_seq=1024):
 
     if q.shape[2] >= min_seq and q.shape[2] == k.shape[2]:
         return flash_attention(q, k, v)
+    return nn.dot_product_attention(q, k, v)
+
+
+def self_attn_fn_int8(q, k, v, *, min_seq=1024, mode="pv"):
+    """int8 variant of :func:`self_attn_fn` — PV (and optionally QK^T) on
+    the 394-TOPS int8 MXU path. Opt-in for the int8 serving mode;
+    SSIM-gated end-to-end (tools/e2e_gate.py) like the conv path. Default
+    mode "pv": the full-int8 kernel measured slower (see _flash_kernel_pv8
+    docstring)."""
+    from pfd_tpu.ops import nn
+
+    if q.shape[2] >= min_seq and q.shape[2] == k.shape[2]:
+        return flash_attention(q, k, v, quant=mode)
     return nn.dot_product_attention(q, k, v)

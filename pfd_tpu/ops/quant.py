@@ -15,10 +15,11 @@ recipe, adapted to a functional param-pytree world:
   which XLA fuses with the producing op; the 2x MXU rate dominates at UNet
   shapes.
 
-Sensitive layers stay bf16: zero-init output convs (scale would be 0),
-tiny 4-channel VAE<->latent convs, norm/embedding parameters. Attention
-QK^T/PV quantization lives in ops/flash_attention.py (separate opt-in, the
-softmax exp amplifies logit error so it is gated by its own SSIM test).
+Layers below ``min_ch`` channels, 1x1 convs, 2-D linear kernels, and
+norm/embedding parameters stay bf16 (measured: XLA int8 *dots* lose to
+bf16 at UNet linear shapes — only spatial convs win). Attention QK^T/PV
+int8 is a separate opt-in in ops/flash_attention.py (``quant=True``),
+gated by its own SSIM test because softmax exp amplifies logit error.
 
 This is an opt-in serving mode (``PromptFreeDiffusionPipeline(quantized=
 True)``); parity vs the fp32 torch reference is gated end-to-end by SSIM
@@ -78,7 +79,9 @@ def quantize_params(params, *, min_ch=64):
     """Walk a param pytree and quantize every conv/linear kernel of a dict
     that looks like ``{"kernel": ...}`` (optionally with bias), replacing it
     by ``{"kernel_q", "kernel_scale", ...}``. Norm scales (1-D) and biases
-    are untouched. Zero kernels are left in bf16."""
+    are untouched. Zero-init kernels quantize exactly to zero and STAY
+    quantized — structural uniformity preserves the zero-recompile
+    hot-swap contract (see _should_quantize)."""
 
     def walk(node):
         if isinstance(node, dict):

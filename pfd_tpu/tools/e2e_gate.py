@@ -1,0 +1,148 @@
+"""Serving-config quality gates vs the torch-fp32 reference, on the TPU.
+
+Measures SSIM(variant, torch-fp32) DIRECTLY for each candidate serving
+configuration at the true operating point (SD-1.5 widths, 512^2, DDIM-50,
+CFG 2.0, shared weights, injected noise) — no composition bounds needed.
+The BASELINE gate is SSIM >= 0.95 vs the PyTorch reference output.
+
+The expensive torch side (hours of full-size CFG UNet forwards on one CPU
+core) is NOT re-run here: tests/test_e2e_fullsize.py caches its outputs
+(img_ref/x_ref/c_ref) under PFD_REF_CACHE, and the reference weights are
+regenerated deterministically (ref_utils.seed_all(0) +
+randomize_params(seed=42) — torch module INIT only, no forward).
+
+Variants (select with GATE_VARIANTS=comma-list, default all):
+  bf16        — bf16 policy + flash self-attention (the honest serving path;
+                closes the PARITY.md:110 gap: round 2 only gated fp32-JAX)
+  int8        — + int8 spatial convs (ops/quant.py, the default bench mode)
+  int8_attn8  — + int8 PV flash attention (self_attn_fn_int8)
+  int8_turbo2 — int8 convs + encoder propagation interval 2
+  bf16_turbo2 — bf16 + encoder propagation interval 2
+
+Usage: python -m pfd_tpu.tools.e2e_gate   (TPU; one full compile per variant)
+Reference recipe matched: app.py:212-275 semantics via lib/model_zoo/ddim.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pfd_tpu import config, registry
+from pfd_tpu.diffusion.ddim import DDIMSampler
+from pfd_tpu.io.convert import torch_sd_to_pytree
+from pfd_tpu.ops import quant
+from pfd_tpu.ops.flash_attention import self_attn_fn, self_attn_fn_int8
+from pfd_tpu.policy import BF16
+from pfd_tpu.training.evaluator import ssim
+
+CACHE = os.environ.get("PFD_REF_CACHE", "tests/_cache")
+
+
+def reference_weights():
+    """Rebuild the reference torch net exactly as tests/test_e2e_fullsize.py
+    does (same seeds) and return its state dict as numpy — init only, no
+    torch forward."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from tests import ref_utils
+    from tests.test_e2e_fullsize import AttrDict
+    ref_utils.load_reference()
+    from lib.model_zoo.pfd import PromptFreeDiffusion as RefPFD
+
+    cfg = config.model_cfg("pfd_seecoder")["args"]
+    vae_cfg = dict(cfg["vae_cfg_list"][0][1])
+    vae_cfg["args"].setdefault("lossconfig", None)
+    ctx_cfg = cfg["ctx_cfg_list"][0][1]
+    unet_cfg = cfg["diffuser_cfg_list"][0][1]
+    ctx_cfg["args"]["imencoder_cfg"]["args"]["drop_path_rate"] = 0.0
+
+    ref_utils.seed_all(0)
+    ref_net = RefPFD(
+        vae_cfg_list=[["image", AttrDict(vae_cfg)]],
+        ctx_cfg_list=[["image", AttrDict(ctx_cfg)]],
+        diffuser_cfg_list=[["image", AttrDict(unet_cfg)]],
+        latent_scale_factor={"image": 0.18215},
+        beta_linear_start=0.00085, beta_linear_end=0.012,
+        timesteps=1000, use_ema=False).eval()
+    ref_utils.randomize_params(ref_net, scale=0.04, seed=42)
+    sd = ref_utils.sd_numpy(ref_net)
+    del ref_net
+    return (vae_cfg, ctx_cfg, unet_cfg), sd
+
+
+def main():
+    ref = np.load(os.path.join(CACHE, "e2e_fullsize_ref.npz"))
+    img_ref = ref["img_ref"]
+
+    (vae_cfg, ctx_cfg, unet_cfg), sd = reference_weights()
+    model = registry.get("pfd")(
+        vae_cfg_list=[["image", vae_cfg]],
+        ctx_cfg_list=[["image", ctx_cfg]],
+        diffuser_cfg_list=[["image", unet_cfg]],
+        latent_scale_factor={"image": 0.18215},
+        beta_linear_start=0.00085, beta_linear_end=0.012, timesteps=1000,
+        policy=BF16)
+    params = torch_sd_to_pytree(sd)
+    del sd
+
+    qparams = dict(params)
+    qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    qparams["vae"] = quant.quantize_params(params["vae"])
+
+    rng = np.random.default_rng(5)
+    ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
+    x_start = jnp.asarray(
+        rng.standard_normal((1, 4, 64, 64)).transpose(0, 2, 3, 1)
+        .astype(np.float32))
+
+    # sanity: the SeeCoder tokens must match the cached torch tokens
+    c_chk = np.asarray(model.ctx_encode(params, ref_img, "image"),
+                       np.float32)
+    cerr = np.abs(c_chk - ref["c_ref"]).max()
+    print(json.dumps({"ctx_tokens_max_abs_err_vs_torch": float(cerr)}),
+          flush=True)
+
+    def run(p, attn, interval):
+        c = model.ctx_encode(p, ref_img, "image")
+        x, _ = DDIMSampler(model).sample(
+            p, jax.random.PRNGKey(0), (1, 64, 64, 4),
+            x_info={"xt": x_start},
+            c_info={"conditioning": c,
+                    "unconditional_conditioning": jnp.zeros_like(c),
+                    "unconditional_guidance_scale": 2.0},
+            steps=50, eta=0.0, self_attn_fn=attn,
+            encoder_interval=interval)
+        return np.asarray(model.vae_decode(p, x, "image"))
+
+    variants = {
+        "bf16": (params, self_attn_fn, 1),
+        "int8": (qparams, self_attn_fn, 1),
+        "int8_attn8": (qparams, self_attn_fn_int8, 1),
+        "int8_turbo2": (qparams, self_attn_fn, 2),
+        "bf16_turbo2": (params, self_attn_fn, 2),
+    }
+    sel = os.environ.get("GATE_VARIANTS")
+    names = sel.split(",") if sel else list(variants)
+
+    results = {}
+    for name in names:
+        p, attn, interval = variants[name]
+        img = run(p, attn, interval)
+        s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
+                 data_range=1.0)
+        results[name] = round(float(s), 5)
+        print(json.dumps({"variant": name,
+                          "ssim_vs_torch_fp32": results[name],
+                          "finite": bool(np.isfinite(img).all()),
+                          "gate_0.95": bool(s >= 0.95)}), flush=True)
+    print(json.dumps({"all": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

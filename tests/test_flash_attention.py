@@ -75,3 +75,29 @@ def test_flash_unpadded_d():
     want = nn.dot_product_attention(q, k, v)
     got = flash_attention(q, k, v, block_q=128, block_k=128, pad_d=False)
     assert_close(got, want, rtol=2e-3, atol=2e-4, name="flash pad_d=False")
+
+
+@pytest.mark.parametrize("s,d", [(256, 40), (520, 80)])
+@pytest.mark.parametrize("mode", [True, "pv"])
+def test_flash_int8_close_to_float(s, d, mode):
+    """int8 QK^T/PV kernel (quant=True): per-tensor int8 q/k/v with the
+    integer-domain online softmax must track float attention to quantization
+    tolerance (the serving-quality bound is the e2e SSIM gate, not this)."""
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 3, s, d), jnp.float32)
+    k = jax.random.normal(kk, (2, 3, s, d), jnp.float32)
+    v = jax.random.normal(kv_, (2, 3, s, d), jnp.float32)
+
+    want = np.asarray(nn.dot_product_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128, block_k=128,
+                                     quant=mode))
+    err = np.abs(got - want)
+    scale = np.abs(want).max()
+    assert err.max() / scale < 0.08, (err.max(), scale)
+    assert err.mean() / scale < 0.01, (err.mean(), scale)
+    # d % 128 == 0 falls back to the bf16 kernel (no room for the l column)
+    q128 = jax.random.normal(kq, (1, 2, 256, 128), jnp.float32)
+    got128 = flash_attention(q128, q128, q128, block_q=128, block_k=128,
+                             quant=True)
+    assert np.isfinite(np.asarray(got128)).all()

@@ -47,3 +47,33 @@ def test_projected_variant_shape():
     z = enc.encode(params, tokens)
     assert z.shape == (2, 8, 16)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_openclip_image_tower_behavior():
+    """openclip_image_context_encoder (reference clip.py:400-492): tower
+    shape, cls-norm scaling, and the preserved inverted-mask quirk
+    (clip.py:478 pools 1-masks; cls token zeroed)."""
+    import numpy as np
+    from pfd_tpu import registry
+
+    enc = registry.get("openclip_image_context_encoder")(
+        width=32, layers=2, heads=2, patch=8, image_size=32, embed_dim=24)
+    params = enc.init(jax.random.PRNGKey(0))
+    imgs = np.random.default_rng(0).random((2, 32, 32, 3)).astype(np.float32)
+
+    z = np.asarray(enc.encode(params, imgs))
+    assert z.shape == (2, 1 + 16, 24)
+    # after x / ||x_pool||, the cls token has unit norm
+    np.testing.assert_allclose(np.linalg.norm(z[:, 0], axis=-1), 1.0,
+                               rtol=1e-5)
+
+    # inverted-mask quirk: an all-ZERO mask leaves patch tokens unscaled
+    # (1-m pools to 1) while the cls token is zeroed ...
+    zeros = np.zeros((2, 32, 32, 1), np.float32)
+    zm = np.asarray(enc.encode(params, imgs, masks=zeros))
+    np.testing.assert_allclose(zm[:, 1:], z[:, 1:], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(zm[:, 0], 0.0, atol=1e-7)
+    # ... and an all-ONES mask zeroes everything (faithful to the reference)
+    ones = np.ones_like(zeros)
+    zo = np.asarray(enc.encode(params, ones * 0 + imgs, masks=ones))
+    np.testing.assert_allclose(zo, 0.0, atol=1e-6)
