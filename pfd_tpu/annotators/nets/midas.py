@@ -133,6 +133,32 @@ def _fusion(p, x, skip=None):
     return nn.conv2d(x, p["out_conv"], padding=0)
 
 
+def dpt_decode(sc, layer_1, layer_2, layer_3, layer_4):
+    """DPT decoder: scratch RN convs + 4 fusion stages + output head
+    (dpt_depth.py:57-101). Parity-tested against the reference's own
+    blocks.py modules (timm-free) with shared random weights at reduced
+    width — tests/test_annotators.py."""
+    l1 = nn.conv2d(layer_1, sc["layer1_rn"], padding=1)
+    l2 = nn.conv2d(layer_2, sc["layer2_rn"], padding=1)
+    l3 = nn.conv2d(layer_3, sc["layer3_rn"], padding=1)
+    l4 = nn.conv2d(layer_4, sc["layer4_rn"], padding=1)
+
+    p4 = _fusion(sc["refinenet4"], l4)
+    p3 = _fusion(sc["refinenet3"], p4, l3)
+    p2 = _fusion(sc["refinenet2"], p3, l2)
+    p1 = _fusion(sc["refinenet1"], p2, l1)
+
+    # head (dpt_depth.py:92-101)
+    oc = sc["output_conv"]
+    h = nn.conv2d(p1, oc["0"], padding=1)
+    h = _up2_align(h)
+    h = nn.conv2d(h, oc["2"], padding=1)
+    h = jax.nn.relu(h)
+    h = nn.conv2d(h, oc["4"], padding=0)
+    h = jax.nn.relu(h)  # non_negative
+    return h[:, :, :, 0]
+
+
 @jax.jit
 def dpt_hybrid_forward(params, x):
     """x: (1, H, W, 3) normalized (x/127.5 - 1), H/W multiples of 32.
@@ -171,26 +197,7 @@ def dpt_hybrid_forward(params, x):
     layer_3 = reassemble(acts[_HOOKS[0]], pp["act_postprocess3"])
     layer_4 = reassemble(acts[_HOOKS[1]], pp["act_postprocess4"], extra_conv=True)
 
-    sc = params["scratch"]
-    l1 = nn.conv2d(layer_1, sc["layer1_rn"], padding=1)
-    l2 = nn.conv2d(layer_2, sc["layer2_rn"], padding=1)
-    l3 = nn.conv2d(layer_3, sc["layer3_rn"], padding=1)
-    l4 = nn.conv2d(layer_4, sc["layer4_rn"], padding=1)
-
-    p4 = _fusion(sc["refinenet4"], l4)
-    p3 = _fusion(sc["refinenet3"], p4, l3)
-    p2 = _fusion(sc["refinenet2"], p3, l2)
-    p1 = _fusion(sc["refinenet1"], p2, l1)
-
-    # head (dpt_depth.py:92-101)
-    oc = sc["output_conv"]
-    h = nn.conv2d(p1, oc["0"], padding=1)
-    h = _up2_align(h)
-    h = nn.conv2d(h, oc["2"], padding=1)
-    h = jax.nn.relu(h)
-    h = nn.conv2d(h, oc["4"], padding=0)
-    h = jax.nn.relu(h)  # non_negative
-    return h[:, :, :, 0]
+    return dpt_decode(params["scratch"], layer_1, layer_2, layer_3, layer_4)
 
 
 def init_params(key, dtype=jnp.float32):

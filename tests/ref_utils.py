@@ -29,6 +29,7 @@ def load_reference():
         tvt = types.ModuleType("torchvision.transforms")
         tvt.ToTensor = lambda *a, **k: None
         tvt.ToPILImage = lambda *a, **k: None
+        tvt.Compose = lambda *a, **k: None  # midas/api.py transforms
         tv.models = tvm
         tv.transforms = tvt
         sys.modules["torchvision"] = tv

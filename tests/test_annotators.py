@@ -108,3 +108,100 @@ def test_midas_dpt_shapes():
     depth, normal = jmidas.apply_midas(img, params=params)
     assert depth.shape == (64, 96) and depth.dtype == np.uint8
     assert normal.shape == (64, 96, 3) and normal.dtype == np.uint8
+
+
+def test_midas_dpt_decoder_parity():
+    """MiDaS DPT decoder golden-tensor parity at reduced width: the
+    reference's OWN blocks.py modules (_make_scratch, FeatureFusionBlock_
+    custom, the dpt_depth.py:92-101 head) — importable once timm is stubbed
+    (timm is only used at backbone-build time) — vs pfd_tpu dpt_decode with
+    shared random weights. Covers scratch RN convs, both RCUs per fusion,
+    align-corners x2 upsampling, and the non-negative head
+    (dpt_depth.py:57-101 wiring)."""
+    import sys
+    import types
+
+    ref_utils.load_reference()
+    if "timm" not in sys.modules:
+        timm_stub = types.ModuleType("timm")
+        timm_stub.create_model = None
+        sys.modules["timm"] = timm_stub
+    import torch
+    from lib.model_zoo.controlnet_annotator.midas.midas.blocks import (
+        FeatureFusionBlock_custom, Interpolate, _make_scratch)
+
+    from pfd_tpu.annotators.nets.midas import dpt_decode
+    from pfd_tpu.io.convert import torch_sd_to_pytree
+
+    feats = 32
+    in_shape = [16, 24, 40, 40]
+
+    ref_utils.seed_all(0)
+    scratch = _make_scratch(in_shape, feats)
+
+    def fusion():
+        return FeatureFusionBlock_custom(
+            feats, torch.nn.ReLU(False), deconv=False, bn=False,
+            expand=False, align_corners=True)
+
+    scratch.refinenet1 = fusion()
+    scratch.refinenet2 = fusion()
+    scratch.refinenet3 = fusion()
+    scratch.refinenet4 = fusion()
+    scratch.output_conv = torch.nn.Sequential(
+        torch.nn.Conv2d(feats, feats // 2, 3, 1, 1),
+        Interpolate(scale_factor=2, mode="bilinear", align_corners=True),
+        torch.nn.Conv2d(feats // 2, 32, 3, 1, 1),
+        torch.nn.ReLU(True),
+        torch.nn.Conv2d(32, 1, 1, 1, 0),
+        torch.nn.ReLU(True),
+        torch.nn.Identity())
+    scratch = scratch.eval()
+    ref_utils.randomize_params(scratch, seed=7)
+
+    rng = np.random.default_rng(3)
+    # strides 4/8/16/32 feature pyramid of a 64x64 input
+    maps = [rng.standard_normal((1, c, s, s)).astype(np.float32)
+            for c, s in zip(in_shape, (16, 8, 4, 2))]
+
+    with torch.no_grad():
+        t = [torch.from_numpy(m) for m in maps]
+        rn = [scratch.layer1_rn(t[0]), scratch.layer2_rn(t[1]),
+              scratch.layer3_rn(t[2]), scratch.layer4_rn(t[3])]
+        p4 = scratch.refinenet4(rn[3])
+        p3 = scratch.refinenet3(p4, rn[2])
+        p2 = scratch.refinenet2(p3, rn[1])
+        p1 = scratch.refinenet1(p2, rn[0])
+        want = scratch.output_conv(p1).squeeze(1).numpy()
+
+    sc = torch_sd_to_pytree(ref_utils.sd_numpy(scratch))
+    got = np.asarray(dpt_decode(sc, *[jnp.asarray(m.transpose(0, 2, 3, 1))
+                                      for m in maps]))
+    assert_close(got, want, rtol=2e-4, atol=2e-4, name="dpt decoder")
+
+
+def test_midas_project_readout_parity():
+    """ProjectReadout (vit.py:31-42) vs _project_readout, shared weights."""
+    import sys
+    import types
+
+    ref_utils.load_reference()
+    if "timm" not in sys.modules:
+        timm_stub = types.ModuleType("timm")
+        timm_stub.create_model = None
+        sys.modules["timm"] = timm_stub
+    import torch
+    from lib.model_zoo.controlnet_annotator.midas.midas.vit import ProjectReadout
+
+    from pfd_tpu.annotators.nets.midas import _project_readout
+    from pfd_tpu.io.convert import torch_sd_to_pytree
+
+    ref_utils.seed_all(1)
+    pr = ProjectReadout(24).eval()
+    ref_utils.randomize_params(pr, seed=8)
+    x = np.random.default_rng(4).standard_normal((2, 10, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = pr(torch.from_numpy(x)).numpy()
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(pr))
+    got = np.asarray(_project_readout(params["project"], jnp.asarray(x)))
+    assert_close(got, want, rtol=2e-4, atol=2e-4, name="project readout")
