@@ -64,5 +64,43 @@ def main():
                         "error": str(e)[:200]}), flush=True)
 
 
+def pad_sweep():
+    """pad_d=True (HBM-materialized 128-lane padding + fused-l ones-column)
+    vs pad_d=False (Mosaic internal tile padding, separate VPU row-sum for
+    the denominator) at the serving shapes, over the competitive block
+    configs. Decides the production default (VERDICT r2 weak #1b)."""
+    iters = int(os.environ.get("LAB_ITERS", "20"))
+    key = jax.random.PRNGKey(0)
+    dt = jnp.bfloat16
+    for b in (8, 16):  # CFG-doubled serving batches 4 (default) and 8
+        for s, d, nh in [(4096, 40, 8), (1024, 80, 8)]:
+            q = jax.random.normal(key, (b, nh, s, d), dt)
+            f = 4 * b * nh * s * s * d
+            for bq, bk in [(2048, 2048), (2048, 1024), (1024, 2048),
+                           (1024, 1024)]:
+                if bq > s or bk > s:
+                    continue
+                for pad in (True, False):
+                    try:
+                        sec = timeit(lambda x: fa.flash_attention(
+                            x, x, x, block_q=bq, block_k=bk, pad_d=pad),
+                            q, iters)
+                        print(json.dumps({
+                            "case": f"b{b}_s{s}_d{d}_bq{bq}_bk{bk}"
+                                    + ("_padd" if pad else "_nopad"),
+                            "ms": round(sec * 1e3, 3),
+                            "mfu_pct": round(
+                                100 * f / sec / 1e12 / V5E_PEAK_TFLOPS, 1),
+                        }), flush=True)
+                    except Exception as e:  # noqa: BLE001
+                        print(json.dumps({
+                            "case": f"b{b}_s{s}_d{d}_bq{bq}_bk{bk}"
+                                    + ("_padd" if pad else "_nopad"),
+                            "error": str(e)[:200]}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LAB_PAD_SWEEP") == "1":
+        pad_sweep()
+    else:
+        main()
