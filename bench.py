@@ -44,10 +44,19 @@ USE_FLASH = os.environ.get("BENCH_FLASH", "1") == "1"
 ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 1)
 
 
+TOME = float(os.environ.get("BENCH_TOME", "0"))
+
+
 def _attn():
     if not USE_FLASH:
         return None
     from pfd_tpu.ops.flash_attention import self_attn_fn
+    if TOME > 0:
+        # ds1 token merging (ops/tome.py) — output-changing turbo,
+        # SSIM-gated via tools/e2e_gate.py like encoder propagation
+        from pfd_tpu.ops.tome import make_tome_attn
+        return make_tome_attn(self_attn_fn, (SIZE // 8, SIZE // 8),
+                              ratio=TOME)
     return self_attn_fn
 
 

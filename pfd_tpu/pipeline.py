@@ -43,13 +43,16 @@ class PromptFreeDiffusionPipeline:
                  tag_ctx="SeeCoder", tag_diffuser="Deliberate-v2.0",
                  tag_ctl="canny", pretrained_root=None, seed=0,
                  with_control=True, self_attn_fn=None, config_override=None,
-                 encoder_interval=1, quantized=False):
+                 encoder_interval=1, quantized=False, tome_ratio=0.0):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
         self.self_attn_fn = self_attn_fn
         self.config_override = config_override  # dict: tests / custom builds
         self.encoder_interval = encoder_interval  # >1: turbo (output-changing)
+        # >0: merge that fraction of ds1 self-attention tokens (ops/tome.py)
+        # — output-changing turbo, SSIM-gated like encoder_interval/int8
+        self.tome_ratio = tome_ratio
         # int8 serving mode (ops/quant.py): diffuser + ControlNet + VAE
         # spatial convs run int8 on the 394-TOPS MXU path; the once-per-image
         # SeeCoder stays bf16. SSIM-gated in tests/test_quant_e2e.py.
@@ -183,6 +186,16 @@ class PromptFreeDiffusionPipeline:
             f = self.net.vae["image"].downsample_factor
             zc = self.net.vae["image"].embed_dim
 
+            attn = self.self_attn_fn
+            if self.tome_ratio > 0:
+                from pfd_tpu.ops import nn as _nn
+                from pfd_tpu.ops import tome
+
+                inner = attn or (lambda q, k, v: _nn.dot_product_attention(
+                    q, k, v, softmax_dtype=self.policy.softmax_dtype))
+                attn = tome.make_tome_attn(inner, (h // f, w // f),
+                                           ratio=self.tome_ratio)
+
             def fn(params, rng, c, u, scale, cc):
                 rng, init_rng = jax.random.split(rng)
                 x = jax.random.normal(init_rng, (batch, h // f, w // f, zc),
@@ -193,7 +206,7 @@ class PromptFreeDiffusionPipeline:
                     c_info["control"] = cc
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
-                    self_attn_fn=self.self_attn_fn,
+                    self_attn_fn=attn,
                     encoder_interval=self.encoder_interval)
                 return self.net.vae_decode(params, x, "image")
 

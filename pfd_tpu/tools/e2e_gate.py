@@ -18,6 +18,9 @@ Variants (select with GATE_VARIANTS=comma-list, default all):
   int8_attn8  — + int8 PV flash attention (self_attn_fn_int8)
   int8_turbo2 — int8 convs + encoder propagation interval 2
   bf16_turbo2 — bf16 + encoder propagation interval 2
+  int8_tome5 / int8_tome3 — + ds1 token merging (ops/tome.py) at ratio
+                0.5 / 0.25
+  int8_tome5_turbo2 — token merging + encoder propagation combined
 
 Usage: python -m pfd_tpu.tools.e2e_gate   (TPU; one full compile per variant)
 Reference recipe matched: app.py:212-275 semantics via lib/model_zoo/ddim.py.
@@ -101,6 +104,16 @@ def main():
         rng.standard_normal((1, 4, 64, 64)).transpose(0, 2, 3, 1)
         .astype(np.float32))
 
+    # fp32 twin of the model for the chaos-control variants: identical
+    # weights, exact-GELU fp32 math (the config test_e2e_fullsize verified
+    # bit-comparable to torch, SSIM 1.000)
+    model32 = registry.get("pfd")(
+        vae_cfg_list=[["image", vae_cfg]],
+        ctx_cfg_list=[["image", ctx_cfg]],
+        diffuser_cfg_list=[["image", unet_cfg]],
+        latent_scale_factor={"image": 0.18215},
+        beta_linear_start=0.00085, beta_linear_end=0.012, timesteps=1000)
+
     # sanity: the SeeCoder tokens must match the cached torch tokens
     c_chk = np.asarray(model.ctx_encode(params, ref_img, "image"),
                        np.float32)
@@ -108,39 +121,71 @@ def main():
     print(json.dumps({"ctx_tokens_max_abs_err_vs_torch": float(cerr)}),
           flush=True)
 
-    def run(p, attn, interval):
-        c = model.ctx_encode(p, ref_img, "image")
-        x, _ = DDIMSampler(model).sample(
+    def run(p, attn, interval, m=model, x0=None):
+        c = m.ctx_encode(p, ref_img, "image")
+        x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
-            x_info={"xt": x_start},
+            x_info={"xt": x_start if x0 is None else x0},
             c_info={"conditioning": c,
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval)
-        return np.asarray(model.vae_decode(p, x, "image"))
+        return np.asarray(m.vae_decode(p, x, "image"))
 
+    from pfd_tpu.ops.tome import make_tome_attn
+
+    tome5 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)
+    tome3 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)
     variants = {
         "bf16": (params, self_attn_fn, 1),
         "int8": (qparams, self_attn_fn, 1),
         "int8_attn8": (qparams, self_attn_fn_int8, 1),
         "int8_turbo2": (qparams, self_attn_fn, 2),
         "bf16_turbo2": (params, self_attn_fn, 2),
+        "int8_tome5": (qparams, tome5, 1),
+        "int8_tome3": (qparams, tome3, 1),
+        "int8_tome5_turbo2": (qparams, tome5, 2),
     }
+    # chaos controls (fp32 exact math): "fp32" must reproduce the cached
+    # torch output (~1.000 — regression check on the weight regeneration);
+    # "fp32_eps" perturbs ONLY the initial latent by 1e-3 — if its SSIM
+    # collapses to the same level as bf16's, the proxy operating point
+    # (random weights -> noise-textured outputs) is chaotically sensitive
+    # and NO non-bit-exact implementation can pass 0.95 against it; the
+    # decision-relevant number for serving variants is then SSIM vs the
+    # repo's own bf16 baseline (printed as ssim_vs_bf16).
+    eps_x = x_start + 1e-3 * jnp.asarray(
+        np.random.default_rng(11).standard_normal(x_start.shape), jnp.float32)
+    variants["fp32"] = (params, None, 1, model32, None)
+    variants["fp32_eps"] = (params, None, 1, model32, eps_x)
+
     sel = os.environ.get("GATE_VARIANTS")
     names = sel.split(",") if sel else list(variants)
 
     results = {}
+    images = {}
+    bf16_img = None
     for name in names:
-        p, attn, interval = variants[name]
-        img = run(p, attn, interval)
+        p, attn, interval, *rest = variants[name]
+        m = rest[0] if rest else model
+        x0 = rest[1] if len(rest) > 1 else None
+        img = run(p, attn, interval, m=m, x0=x0)
+        images[name] = img
         s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
                  data_range=1.0)
         results[name] = round(float(s), 5)
-        print(json.dumps({"variant": name,
-                          "ssim_vs_torch_fp32": results[name],
-                          "finite": bool(np.isfinite(img).all()),
-                          "gate_0.95": bool(s >= 0.95)}), flush=True)
+        row = {"variant": name,
+               "ssim_vs_torch_fp32": results[name],
+               "finite": bool(np.isfinite(img).all()),
+               "gate_0.95": bool(s >= 0.95)}
+        if name == "bf16":
+            bf16_img = img
+        if bf16_img is not None and name != "bf16":
+            row["ssim_vs_bf16"] = round(float(ssim(
+                np.clip(img[0], 0, 1), np.clip(bf16_img[0], 0, 1),
+                data_range=1.0)), 5)
+        print(json.dumps(row), flush=True)
     print(json.dumps({"all": results}), flush=True)
 
 
