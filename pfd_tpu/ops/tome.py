@@ -96,16 +96,19 @@ def compute_merge(metric, h, w, r, *, sx=2, sy=2, ox=0, oy=0):
     merge.sizes = jnp.concatenate(
         [counts, jnp.ones((B, Ss - r), jnp.float32)], axis=1)
 
+    # unmerge as ONE coalesced row gather: build an int32 position->row map
+    # with scalar scatters (B*S writes), then take_along_axis — XLA row
+    # scatters of (B, r, C) activations serialize on the TPU, row gathers
+    # vectorize.
+    src_pos = jnp.asarray(src_idx)
+    row_map = jnp.zeros((B, S), jnp.int32)
+    row_map = row_map.at[:, dst_idx].set(jnp.arange(Sd)[None])
+    row_map = row_map.at[bgrid, src_pos[kept]].set(
+        Sd + jnp.arange(Ss - r)[None] + jnp.zeros((B, 1), jnp.int32))
+    row_map = row_map.at[bgrid, src_pos[merged]].set(tgt)
+
     def unmerge(y):
-        dst_out = y[:, :Sd]
-        kept_out = y[:, Sd:]
-        full = jnp.zeros((B, S) + y.shape[2:], y.dtype)
-        full = full.at[:, dst_idx].set(dst_out)
-        src_pos = jnp.asarray(src_idx)
-        full = full.at[bgrid, src_pos[kept]].set(kept_out)
-        merged_rows = jnp.take_along_axis(dst_out, tgt[..., None], axis=1)
-        full = full.at[bgrid, src_pos[merged]].set(merged_rows)
-        return full
+        return jnp.take_along_axis(y, row_map[..., None], axis=1)
 
     return merge, unmerge
 
@@ -138,11 +141,13 @@ def make_tome_attn(inner, hw, *, ratio=0.5, min_s=4096, sx=2, sy=2,
         metric = k.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         merge, unmerge = compute_merge(metric, h, w, r, sx=sx, sy=sy)
 
-        def per_head(x):
-            xm = merge(x.transpose(0, 2, 1, 3).reshape(B, S, H * D))
-            return xm.reshape(B, S - r, H, D).transpose(0, 2, 1, 3)
-
-        qm, km, vm = per_head(q), per_head(k), per_head(v)
+        # q|k|v merged in ONE pass (one assignment matmul + one gather over
+        # a 3*H*D-wide activation instead of three)
+        qkv = jnp.concatenate(
+            [x.transpose(0, 2, 1, 3).reshape(B, S, H * D) for x in (q, k, v)],
+            axis=-1)
+        qkvm = merge(qkv).reshape(B, S - r, 3, H, D).transpose(2, 0, 3, 1, 4)
+        qm, km, vm = qkvm[0], qkvm[1], qkvm[2]
         if prop_attn:
             Sm = S - r
             ones = jnp.ones((B, H, Sm, 1), qm.dtype)
