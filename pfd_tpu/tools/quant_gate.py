@@ -46,6 +46,8 @@ def _dezero(params, key=0, scale=0.04):
 
 
 def main():
+    import os
+
     cfg = config.model_cfg("pfd_seecoder")["args"]
     cfg["vae_cfg_list"][0][1]["args"].setdefault("lossconfig", None)
     cfg["ctx_cfg_list"][0][1]["args"]["imencoder_cfg"]["args"][
@@ -57,16 +59,17 @@ def main():
     ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
     x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
 
-    def sample(p):
+    def sample(p, attn=self_attn_fn, interval=1, x0=None):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
             p, jax.random.PRNGKey(0), x_start.shape,
-            x_info={"xt": x_start},
+            x_info={"xt": x_start if x0 is None else x0},
             c_info={"conditioning": c,
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0},
-            steps=50, eta=0.0, self_attn_fn=self_attn_fn)
+            steps=50, eta=0.0, self_attn_fn=attn,
+            encoder_interval=interval)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -74,13 +77,35 @@ def main():
     qparams = dict(params)
     qparams["diffuser"] = quant.quantize_params(params["diffuser"])
     qparams["vae"] = quant.quantize_params(params["vae"])
-    img_q = sample(qparams)
-    s = ssim(np.clip(img_q[0], 0, 1), np.clip(img_fp[0], 0, 1),
-             data_range=1.0)
-    print(json.dumps({
-        "fullsize_ddim50_ssim_int8_vs_bf16": round(float(s), 5),
-        "finite": bool(np.isfinite(img_q).all()),
-    }), flush=True)
+
+    def gate(name, img):
+        s = ssim(np.clip(img[0], 0, 1), np.clip(img_fp[0], 0, 1),
+                 data_range=1.0)
+        print(json.dumps({
+            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(float(s), 5),
+            "finite": bool(np.isfinite(img).all()),
+        }), flush=True)
+
+    gate("int8", sample(qparams))
+
+    # GATE_EXTRA=1: turbo variants + the chaos control under THIS weight
+    # proxy (model.init fan-in weights — a different dynamical regime than
+    # e2e_gate's torch-matched randomize_params weights; see PARITY.md)
+    if os.environ.get("GATE_EXTRA") == "1":
+        from pfd_tpu.ops.tome import make_tome_attn
+
+        eps_x = x_start + 1e-3 * jnp.asarray(
+            np.random.default_rng(11).standard_normal(x_start.shape),
+            jnp.float32)
+        gate("bf16eps", sample(params, x0=eps_x))
+        gate("int8_turbo2", sample(qparams, interval=2))
+        gate("int8_tome3", sample(
+            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)))
+        gate("int8_tome5", sample(
+            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)))
+        gate("int8_tome5_turbo2", sample(
+            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5),
+            interval=2))
 
 
 if __name__ == "__main__":
