@@ -249,6 +249,9 @@ def main():
     shared["plain"] = build(with_control=False)
     shared["tables"] = shared["plain"][2].make_tables(STEPS, 0.0)
 
+    if which == "controlnet":
+        bench_controlnet(shared)
+        return
     bench_headline(shared)
     if which == "all":
         bench_zoo_swap(shared)

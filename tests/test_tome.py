@@ -118,6 +118,23 @@ def test_tome_flash_composition():
     assert np.abs(of - oe).max() < 0.05
 
 
+def test_pipeline_tome_wiring():
+    """tome_ratio wires through _sample_decode_fn without breaking the tiny
+    pipeline (tiny latents are below min_s, so the wrapper passes through —
+    this is a plumbing smoke, not a quality test)."""
+    from pfd_tpu.pipeline import PromptFreeDiffusionPipeline
+    from tests.test_pipeline_hotswap import TINY_PFD
+
+    pipe = PromptFreeDiffusionPipeline(
+        fp16=False, config_override=TINY_PFD, tag_ctx="SeeCoder",
+        tag_diffuser="SD-v1.5", tag_ctl="canny", tome_ratio=0.5)
+    pipe.ddim_steps = 2
+    ref = np.random.default_rng(0).random((64, 64, 3), dtype=np.float32)
+    out = pipe.action_inference(ref, None, "none", False, 64, 64, 2.0, 7)
+    img = np.asarray(out[0])
+    assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+
+
 @pytest.mark.parametrize("hw", [(8, 12)])
 def test_non_square_grid(hw):
     h, w = hw
