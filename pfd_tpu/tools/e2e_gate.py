@@ -159,6 +159,10 @@ def main():
         np.random.default_rng(11).standard_normal(x_start.shape), jnp.float32)
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
+    # precision-isolation ladder (used if fp32_eps does NOT collapse —
+    # i.e. the bf16 drift is real, not chaos): which ingredient moves it?
+    variants["bf16_xla_attn"] = (params, None, 1)         # no flash kernel
+    variants["fp32_flash"] = (params, self_attn_fn, 1, model32, None)
 
     sel = os.environ.get("GATE_VARIANTS")
     names = sel.split(",") if sel else list(variants)
