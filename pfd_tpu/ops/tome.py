@@ -86,7 +86,7 @@ def compute_merge(metric, h, w, r, *, sx=2, sy=2, ox=0, oy=0):
         src = x[:, src_idx]
         dst = x[:, dst_idx]
         summed = dst + jnp.einsum(
-            "bds,bsc->bdc", assign, src.astype(jnp.bfloat16)).astype(x.dtype)
+            "bds,bsc->bdc", assign.astype(x.dtype), src)  # 0/1 exact in bf16
         dst_m = (summed.astype(jnp.float32)
                  / counts[..., None]).astype(x.dtype)
         kept_vals = jnp.take_along_axis(src, kept[..., None], axis=1)
