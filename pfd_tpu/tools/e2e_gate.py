@@ -98,11 +98,15 @@ def main():
     qparams["diffuser"] = quant.quantize_params(params["diffuser"])
     qparams["vae"] = quant.quantize_params(params["vae"])
 
+    # EXACTLY the test's draws: `dtype=np.float32` consumes a different
+    # bit-stream than float64-then-cast, so omitting it silently changes
+    # BOTH ref_img and x_start vs the cached torch run (measured: the whole
+    # variant table collapsed to the ~0.83 uncorrelated-image floor).
     rng = np.random.default_rng(5)
-    ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
+    ref_img = jnp.asarray(rng.random((1, 512, 512, 3), dtype=np.float32))
     x_start = jnp.asarray(
-        rng.standard_normal((1, 4, 64, 64)).transpose(0, 2, 3, 1)
-        .astype(np.float32))
+        rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        .transpose(0, 2, 3, 1))
 
     # fp32 twin of the model for the chaos-control variants: identical
     # weights, exact-GELU fp32 math (the config test_e2e_fullsize verified
