@@ -204,10 +204,16 @@ class PromptFreeDiffusionPipeline:
                           "unconditional_guidance_scale": scale}
                 if has_control:
                     c_info["control"] = cc
+                # ControlNet requests always sample exactly: under encoder
+                # propagation the cached encoder skips would hold stale
+                # control residuals on non-key steps — an ungated
+                # approximation (the plain-path interval>1 mode is
+                # SSIM-gated, docs/PARITY.md).
+                interval = 1 if has_control else self.encoder_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,
-                    encoder_interval=self.encoder_interval)
+                    encoder_interval=interval)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)

@@ -182,13 +182,25 @@ if __name__ == "__main__":
                          "SSIM-gated, see docs/PARITY.md)")
     ap.add_argument("--flash", action="store_true", default=True,
                     help="Pallas attention kernels (self + cross)")
+    ap.add_argument("--turbo", type=int, default=1, metavar="K",
+                    help="encoder-propagation interval (Faster Diffusion): "
+                         "run the UNet encoder every K-th DDIM step. K=2 is "
+                         "the bench default serving mode, SSIM-gated 0.99903 "
+                         "vs torch-fp32 (docs/PARITY.md); K=1 = exact "
+                         "sampler. Ignored on ControlNet requests (cached "
+                         "skips would hold stale control residuals).")
+    ap.add_argument("--tome", type=float, default=0.0, metavar="R",
+                    help="ToMe token-merge ratio for ds1 self-attention "
+                         "(0 = off; output-changing, SSIM-gated)")
     args = ap.parse_args()
     attn = None
     if args.flash:
         from pfd_tpu.ops.flash_attention import self_attn_fn
         attn = self_attn_fn
     pipe = PromptFreeDiffusionPipeline(fp16=args.fp16, quantized=args.int8,
-                                       self_attn_fn=attn)
+                                       self_attn_fn=attn,
+                                       encoder_interval=args.turbo,
+                                       tome_ratio=args.tome)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

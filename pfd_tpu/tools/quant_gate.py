@@ -2,9 +2,10 @@
 
 SSIM between the int8 pipeline (ops/quant.py: diffuser+VAE spatial convs
 int8) and the bf16 pipeline over the full path — SD-1.5-width UNet, 512^2,
-DDIM-50, CFG 2.0, shared random weights and injected noise. bf16-vs-torch
-parity is separately gated by tests/test_e2e_fullsize.py, so this result
-composes: SSIM(int8, torch-fp32) >= SSIM(int8, bf16) - (1 - SSIM(bf16, torch)).
+DDIM-50, CFG 2.0, shared random weights and injected noise. This is the
+second weight proxy (fan-in init weights) backing the DIRECT
+vs-torch-fp32 gates in tools/e2e_gate.py (bf16 0.99914, int8 0.99903 —
+measured, no composition bound needed; docs/PARITY.md round 3).
 
 Measured 2026-08-17 on the v5e: **0.99672** (recorded in docs/PARITY.md).
 The CPU slow-suite analogue is tests/test_quant_e2e.py (384^2/DDIM-25 —

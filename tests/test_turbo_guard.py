@@ -1,0 +1,42 @@
+"""ControlNet requests must sample exactly even when the pipeline's
+encoder-propagation turbo is on (pipeline.py _sample_decode_fn guard):
+under interval>1 the cached encoder skips would hold stale control
+residuals on non-key steps — an ungated approximation. The plain path's
+interval>1 mode is the SSIM-gated serving default (docs/PARITY.md)."""
+
+import numpy as np
+
+from pfd_tpu.pipeline import PromptFreeDiffusionPipeline
+from tests import ref_utils
+from tests.test_pipeline_hotswap import TINY_PFD
+
+
+def _pipe(tmp_path, interval):
+    pipe = PromptFreeDiffusionPipeline(
+        fp16=False, config_override=TINY_PFD, pretrained_root=str(tmp_path),
+        tag_ctx="SeeCoder", tag_diffuser="SD-v1.5", tag_ctl="canny",
+        encoder_interval=interval)
+    pipe.ddim_steps = 2
+    pipe.params = ref_utils.dezero_pytree(pipe.params, key=3)
+    return pipe
+
+def test_control_exact_plain_turbo(tmp_path):
+    rng = np.random.default_rng(0)
+    ref = rng.random((64, 64, 3), dtype=np.float32)
+    ctl = np.zeros((64, 64, 3), np.float32)
+    ctl[16:48, 16:48] = 1.0  # white square -> clean canny edges
+
+    exact = _pipe(tmp_path, interval=1)
+    turbo = _pipe(tmp_path, interval=2)
+    turbo.params = exact.params  # identical weights
+
+    # control requests: the guard forces exact sampling -> identical output
+    a1 = exact.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    a2 = turbo.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    # plain requests: interval-2 is live -> output actually changes
+    p1 = exact.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    p2 = turbo.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    assert np.isfinite(np.asarray(p2[0])).all()
+    assert np.abs(np.asarray(p1[0]) - np.asarray(p2[0])).max() > 1e-6
