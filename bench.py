@@ -259,8 +259,40 @@ def bench_dp_serve(shared):
           "vs_baseline": round(ips / 2.0, 4)})
 
 
+def _wait_for_tpu(max_wait_s=_env_int("BENCH_WAIT_TPU_S", 600)):
+    """The axon tunnel flaps: backend init either raises UNAVAILABLE or
+    hangs. Probe it in a subprocess (so a hang can't wedge this process)
+    and retry for a bounded window before starting the bench proper.
+    BENCH_WAIT_TPU_S=0 disables."""
+    import subprocess
+    import sys
+
+    probe = ("import jax; jax.devices(); import jax.numpy as jnp; "
+             "print(float(jnp.ones((8, 8)).sum()))")
+    deadline = time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            budget = max(10.0, min(240.0, deadline - time.time()))
+            r = subprocess.run([sys.executable, "-c", probe], timeout=budget,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False  # proceed; the real init will surface the error
+        if first:
+            print(json.dumps({"info": "TPU tunnel unavailable; retrying",
+                              "max_wait_s": max_wait_s}), flush=True)
+            first = False
+        time.sleep(20)
+
+
 def main():
     which = os.environ.get("BENCH_CONFIGS", "headline")
+    if _env_int("BENCH_WAIT_TPU_S", 600) > 0:
+        _wait_for_tpu()
     shared = {}
     shared["plain"] = build(with_control=False)
     shared["tables"] = shared["plain"][2].make_tables(STEPS, 0.0)
