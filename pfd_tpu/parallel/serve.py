@@ -57,10 +57,13 @@ class DataParallelServer:
                       "unconditional_guidance_scale": scale}
                 if has_control:
                     ci["control"] = hints
+                # same guard as pipeline.py: control requests sample exactly
+                # (cached encoder skips would hold stale control residuals)
+                interval = 1 if has_control else self.encoder_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, ci, tables,
                     self_attn_fn=self.self_attn_fn,
-                    encoder_interval=self.encoder_interval)
+                    encoder_interval=interval)
                 return self.model.vae_decode(params, x, "image")
 
             self._cache[key] = jax.jit(
