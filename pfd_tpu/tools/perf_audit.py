@@ -142,6 +142,8 @@ def main():
     if "unet" in sections:
         audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
                    iters, rows)
+    if "vae" in sections:
+        audit_vae(config, registry, BF16, n, size, key, rows)
 
 
 def audit_fused(nn, b, hl, key, dt, iters, rows):
@@ -225,6 +227,102 @@ def audit_unet(config, registry, BF16, flash, n, b, hl, size, key, dt,
             "implied_img_per_s": round(n / (50 * total_step), 3),
         }
     }), flush=True)
+
+
+def audit_vae(config, registry, BF16, n, size, key, rows):
+    """Per-stage attribution of the production VAE decoder (AUDIT_SECTIONS=
+    vae): where the decode time (round-2: 171 ms/b8 at 36% MFU) actually
+    goes. Stages mirror autokl.AutoencoderKL.decoder_apply — the mid stack
+    (conv_in + ResNet/attn/ResNet at latent res, 512 ch), each upsampling
+    level, and the norm+SiLU+conv tail at full res."""
+    from pfd_tpu.models import autokl as ak
+    from pfd_tpu.ops import nn
+    from pfd_tpu.ops import quant
+
+    vcfg = config.model_cfg("pfd_seecoder")["args"]["vae_cfg_list"][0][1]
+    vcfg["args"].setdefault("lossconfig", None)
+    vae = registry.get(vcfg["type"])(**vcfg["args"], policy=BF16)
+    params = vae.init(key)
+    hl = size // 8
+    z = jax.random.normal(key, (n, hl, hl, 4), jnp.float32)
+
+    sec = timeit_dispatch(lambda p, zz: vae.decode(p, zz), params, z)
+    rows.append(report_row(f"vae_decode_b{n}_bf16", sec))
+    qparams = quant.quantize_params(params)
+    sec = timeit_dispatch(lambda p, zz: vae.decode(p, zz), qparams, z)
+    rows.append(report_row(f"vae_decode_b{n}_int8", sec))
+
+    pol = vae.policy
+    nlev = len(vae.ch_mult)
+
+    def capture(ps, zz):
+        """Replay decoder_apply, returning each stage's input activation."""
+        p = ps["decoder"]
+        zz = nn.conv2d(pol.cast(zz), ps["post_quant_conv"], padding=0)
+        caps = {"mid": zz}
+        h = nn.conv2d(zz, p["conv_in"], padding=1)
+        h = ak._resnet_block(p["mid"]["block_1"], h, pol)
+        h = ak._attn_block(p["mid"]["attn_1"], h, pol)
+        h = ak._resnet_block(p["mid"]["block_2"], h, pol)
+        for i in reversed(range(nlev)):
+            caps[f"up{i}"] = h
+            level = p["up"][str(i)]
+            for j in range(vae.num_res_blocks + 1):
+                h = ak._resnet_block(level["block"][str(j)], h, pol)
+                if "attn" in level:
+                    h = ak._attn_block(level["attn"][str(j)], h, pol)
+            if "upsample" in level:
+                h = ak._upsample(level["upsample"], h)
+        caps["tail"] = h
+        return caps
+
+    caps = jax.jit(capture)(params, z)
+
+    def mid_fn(ps, x):
+        p = ps["decoder"]
+        h = nn.conv2d(x, p["conv_in"], padding=1)
+        h = ak._resnet_block(p["mid"]["block_1"], h, pol)
+        h = ak._attn_block(p["mid"]["attn_1"], h, pol)
+        return ak._resnet_block(p["mid"]["block_2"], h, pol)
+
+    sec = timeit_dispatch(mid_fn, params, caps["mid"])
+    rows.append(report_row(f"vae_dec_mid_b{n}", sec))
+
+    def attn_fn(ps, x):
+        return ak._attn_block(ps["decoder"]["mid"]["attn_1"], x, pol)
+
+    h0 = jax.jit(lambda ps, x: ak._resnet_block(
+        ps["decoder"]["mid"]["block_1"],
+        nn.conv2d(x, ps["decoder"]["conv_in"], padding=1), pol))(
+            params, caps["mid"])
+    sec = timeit_dispatch(attn_fn, params, h0)
+    rows.append(report_row(f"vae_dec_mid_attn_b{n}", sec))
+
+    for i in reversed(range(nlev)):
+        def level_fn(ps, x, i=i):
+            level = ps["decoder"]["up"][str(i)]
+            h = x
+            for j in range(vae.num_res_blocks + 1):
+                h = ak._resnet_block(level["block"][str(j)], h, pol)
+                if "attn" in level:
+                    h = ak._attn_block(level["attn"][str(j)], h, pol)
+            if "upsample" in level:
+                h = ak._upsample(level["upsample"], h)
+            return h
+
+        x = caps[f"up{i}"]
+        sec = timeit_dispatch(level_fn, params, x)
+        rows.append(report_row(
+            f"vae_dec_up{i}_b{n}_{x.shape[1]}px{x.shape[3]}ch", sec))
+
+    def tail_fn(ps, x):
+        p = ps["decoder"]
+        h = nn.group_norm(x, p["norm_out"], eps=ak._EPS,
+                          norm_dtype=pol.norm_dtype)
+        return nn.conv2d(nn.silu(h), p["conv_out"], padding=1)
+
+    sec = timeit_dispatch(tail_fn, params, caps["tail"])
+    rows.append(report_row(f"vae_dec_tail_b{n}", sec))
 
 
 def audit_ops(nn, flash, b, hl, key, dt, iters, rows):
