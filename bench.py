@@ -54,6 +54,11 @@ USE_FLASH = os.environ.get("BENCH_FLASH", "1") == "1"
 # encoder skips would hold stale control residuals — ungated).
 _ENC_ENV = "BENCH_ENCODER_INTERVAL" in os.environ
 ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 2)
+# CFG-delta reuse (diffusion/ddim.py sample_fn): the uncond half runs every
+# k-th step only; in between the conditional half alone is evaluated and the
+# guidance delta is extrapolated. Off by default until its own e2e_gate
+# SSIM row passes at the operating point.
+CFG_INTERVAL = _env_int("BENCH_CFG_INTERVAL", 1)
 
 
 TOME = float(os.environ.get("BENCH_TOME", "0"))
@@ -114,7 +119,9 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
             c_info["control"] = hint
         x, _ = sampler.sample_fn(params, rng, x, c_info, tables,
                                  self_attn_fn=attn,
-                                 encoder_interval=interval)
+                                 encoder_interval=interval,
+                                 cfg_interval=1 if with_control
+                                 else CFG_INTERVAL)
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -154,7 +161,8 @@ def bench_headline(shared):
     shared["headline"] = {
         "metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
                   + ("_int8" if QUANT else "")
-                  + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else ""),
+                  + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
+                  + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 2.0, 4),
@@ -254,7 +262,8 @@ def bench_dp_serve(shared):
     dt = (time.perf_counter() - t0) / ITERS
     ips = dp_batch / dt
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ref_batch{dp_batch}"
-                    + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else ""),
+                    + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
+                    + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else ""),
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})
 

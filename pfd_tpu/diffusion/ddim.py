@@ -33,7 +33,7 @@ class DDIMSampler:
 
     def sample(self, params, rng, shape, x_info, c_info, steps=50, eta=0.0,
                temperature=1.0, x_type="image", c_type="image",
-               self_attn_fn=None, encoder_interval=1):
+               self_attn_fn=None, encoder_interval=1, cfg_interval=1):
         """Eager-friendly entry; mirrors reference sample() (ddim.py:58-79).
 
         x_info: optional dict with 'xt' (start latent) or
@@ -63,7 +63,8 @@ class DDIMSampler:
         return self.sample_fn(params, rng, x, c_info, tables, n_steps,
                               temperature=temperature, x_type=x_type,
                               c_type=c_type, self_attn_fn=self_attn_fn,
-                              encoder_interval=encoder_interval)
+                              encoder_interval=encoder_interval,
+                              cfg_interval=cfg_interval)
 
     def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
                             steps=50, eta=0.0, temperature=1.0,
@@ -134,13 +135,26 @@ class DDIMSampler:
 
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
                   temperature=1.0, noise_dropout=0.0, x_type="image",
-                  c_type="image", self_attn_fn=None, encoder_interval=1):
+                  c_type="image", self_attn_fn=None, encoder_interval=1,
+                  cfg_interval=1):
         """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
 
         encoder_interval > 1 enables encoder propagation (Faster Diffusion,
         arXiv:2312.09608): the UNet encoder (+ ControlNet) runs only every
         k-th step and its features are reused in between — an opt-in,
-        output-changing speedup (~20-30%% at k=2-3)."""
+        output-changing speedup (~20-30%% at k=2-3).
+
+        cfg_interval > 1 enables CFG-delta reuse: the unconditional half of
+        the CFG-doubled batch runs only every k-th step; in between, the
+        model is evaluated on the conditional half alone (batch n, not 2n)
+        and the guidance delta (e_c - e_uc) carried from the last full step
+        is extrapolated as e_t = e_c + (scale-1)*delta. At scale == 1 this
+        is exactly the plain sampler (the delta term vanishes), which the
+        unit test exploits. Opt-in and output-changing for scale != 1 —
+        SSIM-gated like encoder propagation. Composes with
+        encoder_interval when the two intervals are EQUAL (key steps
+        coincide: the cached encoder skips are sliced to the conditional
+        half on reuse steps); other combinations are rejected."""
         model = self.model
         cond = c_info["conditioning"]
         uncond = c_info.get("unconditional_conditioning")
@@ -236,6 +250,17 @@ class DDIMSampler:
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
             return x_prev.astype(xt.dtype), key, pred_x0
 
+        if cfg_interval > 1 and use_cfg:
+            assert encoder_interval in (1, cfg_interval), (
+                "cfg_interval composes with encoder_interval only when the "
+                "intervals are equal (key steps must coincide)")
+            return self._sample_fn_cfg_reuse(
+                params, rng, x, per_step_np, n_steps, make_inputs, ddim_update,
+                cond=cond, scale=scale, control=control,
+                control_embed=control_embed, x_type=x_type, c_type=c_type,
+                self_attn_fn=self_attn_fn, cfg_interval=cfg_interval,
+                use_enc_cache=encoder_interval > 1)
+
         if encoder_interval <= 1:
             def step(carry, inp):
                 xt, key = carry
@@ -270,3 +295,83 @@ class DDIMSampler:
         (x_final, _, _), pred_x0s = jax.lax.scan(
             step, (x, rng, cache0), (per_step, idxs_arr))
         return x_final, {"pred_x0": pred_x0s[-1]}
+
+    def _sample_fn_cfg_reuse(self, params, rng, x, per_step_np, n_steps,
+                             make_inputs, ddim_update, *, cond, scale,
+                             control, control_embed, x_type, c_type,
+                             self_attn_fn, cfg_interval, use_enc_cache):
+        """CFG-delta-reuse scan (see sample_fn docstring). The step loop is a
+        scan over GROUPS of cfg_interval steps — group step 0 runs the full
+        CFG-doubled model (refreshing the guidance delta, and the encoder
+        cache when composed with encoder propagation); the remaining k-1
+        steps run the conditional half only, decoder-only when the encoder
+        cache is on. Grouping sidesteps lax.cond's same-shape constraint
+        (the model batch differs between full and reuse steps)."""
+        model = self.model
+        b = x.shape[0]
+        k = cfg_interval
+
+        def cond_inputs(xt, ts):
+            ci = {"type": c_type, "c": cond}
+            if control_embed is not None:
+                ci["control_embed"] = control_embed
+            elif control is not None:
+                ci["control"] = control
+            return xt, ts, ci
+
+        def full_step(xt, key, row):
+            ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
+            x_in, t_in, ci = make_inputs(xt, ts)
+            if use_enc_cache:
+                cache = model.apply_model_encoder(
+                    params, {"type": x_type, "x": x_in}, t_in, ci,
+                    self_attn_fn=self_attn_fn)
+                e = model.apply_model_decoder(
+                    params, cache[0], cache[1], t_in, ci, x_type=x_type,
+                    self_attn_fn=self_attn_fn)
+            else:
+                cache = None
+                e = model.apply_model(params, {"type": x_type, "x": x_in},
+                                      t_in, ci, self_attn_fn=self_attn_fn)
+            e_uc, e_c = jnp.split(e.astype(jnp.float32), 2, axis=0)
+            delta = e_c - e_uc
+            x_prev, key, px0 = ddim_update(xt, key, row, e_uc + scale * delta)
+            return x_prev, key, px0, delta, cache
+
+        def reuse_step(xt, key, row, delta, cache):
+            ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
+            x_in, t_in, ci = cond_inputs(xt, ts)
+            if use_enc_cache:
+                ch, chs = jax.tree.map(lambda a: a[b:], cache)  # cond half
+                e_c = model.apply_model_decoder(
+                    params, ch, chs, t_in, ci, x_type=x_type,
+                    self_attn_fn=self_attn_fn)
+            else:
+                e_c = model.apply_model(params, {"type": x_type, "x": x_in},
+                                        t_in, ci, self_attn_fn=self_attn_fn)
+            e_t = e_c.astype(jnp.float32) + (scale - 1.0) * delta
+            return ddim_update(xt, key, row, e_t)
+
+        # lead-in remainder (n_steps % k earliest steps): full CFG, unrolled
+        r = n_steps % k
+        x_cur, key_cur, lead_px0 = x, rng, None
+        for j in range(r):
+            row = jnp.asarray(per_step_np[j], jnp.float32)
+            x_cur, key_cur, lead_px0, _, _ = full_step(x_cur, key_cur, row)
+
+        if n_steps < k:
+            return x_cur, {"pred_x0": lead_px0}
+
+        rows_grouped = jnp.asarray(
+            per_step_np[r:].reshape(n_steps // k, k, 5), jnp.float32)
+
+        def group(carry, rows):
+            xt, key = carry
+            xt, key, px0, delta, cache = full_step(xt, key, rows[0])
+            for j in range(1, k):
+                xt, key, px0 = reuse_step(xt, key, rows[j], delta, cache)
+            return (xt, key), px0
+
+        (x_final, _), px0s = jax.lax.scan(group, (x_cur, key_cur),
+                                          rows_grouped)
+        return x_final, {"pred_x0": px0s[-1]}

@@ -43,13 +43,17 @@ class PromptFreeDiffusionPipeline:
                  tag_ctx="SeeCoder", tag_diffuser="Deliberate-v2.0",
                  tag_ctl="canny", pretrained_root=None, seed=0,
                  with_control=True, self_attn_fn=None, config_override=None,
-                 encoder_interval=1, quantized=False, tome_ratio=0.0):
+                 encoder_interval=1, quantized=False, tome_ratio=0.0,
+                 cfg_interval=1):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
         self.self_attn_fn = self_attn_fn
         self.config_override = config_override  # dict: tests / custom builds
         self.encoder_interval = encoder_interval  # >1: turbo (output-changing)
+        # >1: CFG-delta reuse (diffusion/ddim.py sample_fn docstring) —
+        # output-changing turbo, SSIM-gated like encoder_interval
+        self.cfg_interval = cfg_interval
         # >0: merge that fraction of ds1 self-attention tokens (ops/tome.py)
         # — output-changing turbo, SSIM-gated like encoder_interval/int8
         self.tome_ratio = tome_ratio
@@ -210,10 +214,11 @@ class PromptFreeDiffusionPipeline:
                 # approximation (the plain-path interval>1 mode is
                 # SSIM-gated, docs/PARITY.md).
                 interval = 1 if has_control else self.encoder_interval
+                cfg_iv = 1 if has_control else self.cfg_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,
-                    encoder_interval=interval)
+                    encoder_interval=interval, cfg_interval=cfg_iv)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)

@@ -189,6 +189,13 @@ if __name__ == "__main__":
                          "vs torch-fp32 (docs/PARITY.md); K=1 = exact "
                          "sampler. Ignored on ControlNet requests (cached "
                          "skips would hold stale control residuals).")
+    ap.add_argument("--cfg-turbo", type=int, default=1, metavar="K",
+                    help="CFG-delta reuse interval: run the unconditional "
+                         "half of the CFG batch every K-th step only, "
+                         "extrapolating the guidance delta in between "
+                         "(output-changing, SSIM-gated; K>1 must equal "
+                         "--turbo when both are on). Ignored on ControlNet "
+                         "requests.")
     ap.add_argument("--tome", type=float, default=0.0, metavar="R",
                     help="ToMe token-merge ratio for ds1 self-attention "
                          "(0 = off; output-changing, SSIM-gated)")
@@ -200,7 +207,8 @@ if __name__ == "__main__":
     pipe = PromptFreeDiffusionPipeline(fp16=args.fp16, quantized=args.int8,
                                        self_attn_fn=attn,
                                        encoder_interval=args.turbo,
-                                       tome_ratio=args.tome)
+                                       tome_ratio=args.tome,
+                                       cfg_interval=args.cfg_turbo)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

@@ -21,6 +21,9 @@ Variants (select with GATE_VARIANTS=comma-list, default all):
   int8_tome5 / int8_tome3 — + ds1 token merging (ops/tome.py) at ratio
                 0.5 / 0.25
   int8_tome5_turbo2 — token merging + encoder propagation combined
+  int8_cfg2 / bf16_cfg2 / int8_turbo2_cfg2 — CFG-delta reuse (ddim.py
+                cfg_interval=2), alone and composed with encoder
+                propagation
 
 Usage: python -m pfd_tpu.tools.e2e_gate   (TPU; one full compile per variant)
 Reference recipe matched: app.py:212-275 semantics via lib/model_zoo/ddim.py.
@@ -125,7 +128,7 @@ def main():
     print(json.dumps({"ctx_tokens_max_abs_err_vs_torch": float(cerr)}),
           flush=True)
 
-    def run(p, attn, interval, m=model, x0=None):
+    def run(p, attn, interval, m=model, x0=None, cfg_interval=1):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -134,7 +137,7 @@ def main():
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
-            encoder_interval=interval)
+            encoder_interval=interval, cfg_interval=cfg_interval)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     from pfd_tpu.ops.tome import make_tome_attn
@@ -161,6 +164,10 @@ def main():
     # repo's own bf16 baseline (printed as ssim_vs_bf16).
     eps_x = x_start + 1e-3 * jnp.asarray(
         np.random.default_rng(11).standard_normal(x_start.shape), jnp.float32)
+    # CFG-delta reuse (ddim.py cfg_interval): uncond half every 2nd step
+    variants["int8_cfg2"] = (qparams, self_attn_fn, 1, model, None, 2)
+    variants["bf16_cfg2"] = (params, self_attn_fn, 1, model, None, 2)
+    variants["int8_turbo2_cfg2"] = (qparams, self_attn_fn, 2, model, None, 2)
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —
@@ -178,7 +185,8 @@ def main():
         p, attn, interval, *rest = variants[name]
         m = rest[0] if rest else model
         x0 = rest[1] if len(rest) > 1 else None
-        img = run(p, attn, interval, m=m, x0=x0)
+        cfg_iv = rest[2] if len(rest) > 2 else 1
+        img = run(p, attn, interval, m=m, x0=x0, cfg_interval=cfg_iv)
         images[name] = img
         s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
                  data_range=1.0)

@@ -60,7 +60,7 @@ def main():
     ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
     x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
 
-    def sample(p, attn=self_attn_fn, interval=1, x0=None):
+    def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -70,7 +70,7 @@ def main():
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
-            encoder_interval=interval)
+            encoder_interval=interval, cfg_interval=cfg_interval)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -107,6 +107,10 @@ def main():
         gate("int8_tome5_turbo2", sample(
             qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5),
             interval=2))
+        # CFG-delta reuse (ddim.py cfg_interval) under the fan-in proxy —
+        # the regime where guidance actually bends the trajectory
+        gate("int8_cfg2", sample(qparams, cfg_interval=2))
+        gate("int8_turbo2_cfg2", sample(qparams, interval=2, cfg_interval=2))
 
 
 if __name__ == "__main__":
