@@ -63,7 +63,8 @@ def _downsample(p, x):
 
 
 def _upsample(p, x):
-    return nn.conv2d(nn.nearest_upsample_2x(x), p["conv"], padding=1)
+    # lossless phase-decomposed fusion (ops/nn.upsample_conv2d)
+    return nn.upsample_conv2d(x, p["conv"])
 
 
 # ---------------------------------------------------------------------------

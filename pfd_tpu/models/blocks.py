@@ -189,7 +189,9 @@ def init_upsample(key, ch, cout, dtype):
 
 
 def upsample(p, x):
-    return nn.conv2d(nn.nearest_upsample_2x(x), p["conv"], padding=1)
+    # lossless phase-decomposed fusion (ops/nn.upsample_conv2d): 2.25x fewer
+    # MACs than materializing the nearest-2x intermediate, exact in fp32
+    return nn.upsample_conv2d(x, p["conv"])
 
 
 def init_time_embed(key, model_channels, dtype):

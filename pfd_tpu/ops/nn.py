@@ -252,6 +252,69 @@ def nearest_upsample_2x(x):
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+def _phase_kernel(k):
+    """(3,3,C,K) kernel -> (2,2,C,4K) phase-decomposed kernel for
+    :func:`upsample_conv2d`. For output phase p (per axis), the three taps of
+    the 3x3 window land on only TWO distinct pre-upsample pixels, so the
+    phase kernel is a 2-tap kernel of partial sums: phase 0 sees (x[i-1],
+    x[i]) with weights (w0, w1+w2); phase 1 sees (x[i], x[i+1]) with
+    (w0+w1, w2). Output channels are ordered (p, q, K)."""
+    h0 = jnp.stack([k[0], k[1] + k[2]], axis=0)          # (2,3,C,K)
+    h1 = jnp.stack([k[0] + k[1], k[2]], axis=0)
+    phases = []
+    for hp in (h0, h1):
+        phases.append(jnp.stack([hp[:, 0], hp[:, 1] + hp[:, 2]], axis=1))
+        phases.append(jnp.stack([hp[:, 0] + hp[:, 1], hp[:, 2]], axis=1))
+    return jnp.concatenate(phases, axis=-1)              # (2,2,C,4K)
+
+
+def upsample_conv2d(x, p):
+    """``conv2d(nearest_upsample_2x(x), p, padding=1)`` as ONE conv at the
+    PRE-upsample resolution — a lossless algebraic rewrite (exact in fp32;
+    within one rounding of the naive path in bf16/int8).
+
+    Nearest-2x duplicates pixels, so each of the four output phases (p,q)
+    of the 3x3 conv reads only a 2x2 window of the small input with
+    partial-sum weights (:func:`_phase_kernel`). One VALID 2x2 conv over the
+    1-padded input produces all four phase maps as channel groups
+    ((H+1)x(W+1) so both phase alignments are slices), and a pixel shuffle
+    interleaves them. 16 vs 36 C^2 HW MACs (2.25x fewer FLOPs) and the 4x
+    upsampled intermediate is never materialized. Used by the UNet Upsample
+    blocks (inside the 50-step scan; the kernel derivation is
+    loop-invariant, hoisted by XLA) and the VAE decoder levels."""
+    n, h, w, c = x.shape
+    if "kernel_q" in p:
+        from pfd_tpu.ops import quant
+        k = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+        pk, ps = quant.quantize_weight(_phase_kernel(k))
+        x8, sx = quant.quantize_act(x)
+        xp = jnp.pad(x8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        z = lax.conv_general_dilated(
+            xp, pk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        z = (z.astype(jnp.float32)
+             * (sx * ps.astype(jnp.float32))).astype(x.dtype)
+    else:
+        pk = _phase_kernel(p["kernel"].astype(jnp.float32)).astype(x.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        z = lax.conv_general_dilated(
+            xp, pk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    kout = z.shape[-1] // 4
+    # phase (p,q) output index (i,j) sits at padded-conv index (i+p, j+q)
+    z4 = jnp.stack([
+        z[:, 0:h, 0:w, 0 * kout:1 * kout],
+        z[:, 0:h, 1:w + 1, 1 * kout:2 * kout],
+        z[:, 1:h + 1, 0:w, 2 * kout:3 * kout],
+        z[:, 1:h + 1, 1:w + 1, 3 * kout:4 * kout],
+    ], axis=3).reshape(n, h, w, 2, 2, kout)
+    y = z4.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, kout)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def avg_pool_2x(x):
     return lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") * 0.25
 

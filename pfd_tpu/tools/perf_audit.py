@@ -144,6 +144,8 @@ def main():
                    iters, rows)
     if "vae" in sections:
         audit_vae(config, registry, BF16, n, size, key, rows)
+    if "upconv" in sections:
+        audit_upconv(nn, b, hl, key, dt, iters, rows)
 
 
 def audit_fused(nn, b, hl, key, dt, iters, rows):
@@ -323,6 +325,37 @@ def audit_vae(config, registry, BF16, n, size, key, rows):
 
     sec = timeit_dispatch(tail_fn, params, caps["tail"])
     rows.append(report_row(f"vae_dec_tail_b{n}", sec))
+
+
+def audit_upconv(nn, b, hl, key, dt, iters, rows):
+    """Fused phase-decomposed upsample-conv (ops/nn.upsample_conv2d) vs the
+    naive nearest_upsample_2x + 3x3 conv, bf16 and int8, at the UNet
+    Upsample shapes (pre-upsample side/ch at this latent size) and the VAE
+    decoder level shapes. AUDIT_SECTIONS=upconv."""
+    from pfd_tpu.ops import quant as _q
+
+    for side, ch in [(hl // 2, 640), (hl // 4, 1280), (hl // 8, 1280),
+                     (hl, 512), (hl * 2, 512), (hl * 4, 256)]:
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        k3 = jax.random.normal(key, (3, 3, ch, ch), dt) * 0.02
+        p = {"kernel": k3, "bias": jnp.zeros((ch,), dt)}
+        f_naive = 2 * b * (2 * side) ** 2 * 9 * ch * ch
+        sec = timeit(lambda x: nn.conv2d(nn.nearest_upsample_2x(x), p,
+                                         padding=1), x, iters)
+        rows.append(report_row(f"upconv_naive_{side}x{side}x{ch}", sec,
+                               f_naive))
+        sec = timeit(lambda x: nn.upsample_conv2d(x, p), x, iters)
+        rows.append(report_row(f"upconv_fused_{side}x{side}x{ch}", sec,
+                               f_naive))
+        q8, s8 = _q.quantize_weight(k3)
+        pq = {"kernel_q": q8, "kernel_scale": s8, "bias": p["bias"]}
+        sec = timeit(lambda x: nn.conv2d(nn.nearest_upsample_2x(x), pq,
+                                         padding=1), x, iters)
+        rows.append(report_row(f"upconv_naive_int8_{side}x{side}x{ch}", sec,
+                               f_naive))
+        sec = timeit(lambda x: nn.upsample_conv2d(x, pq), x, iters)
+        rows.append(report_row(f"upconv_fused_int8_{side}x{side}x{ch}", sec,
+                               f_naive))
 
 
 def audit_ops(nn, flash, b, hl, key, dt, iters, rows):

@@ -153,3 +153,46 @@ def test_config_bank_resolution():
     assert cfg["args"]["diffuser_cfg_list"][0][1]["args"]["model_channels"] == 320
     pa = config.model_cfg("pfd_seecoder_pa")
     assert pa["args"]["ctx_cfg_list"][0][1]["args"]["qtransformer_cfg"]["args"]["with_fea2d_pos"] is True
+
+
+def test_upsample_conv2d_exact_fp32():
+    """Phase-decomposed fused upsample-conv is an ALGEBRAIC identity with
+    nearest_upsample_2x + 3x3 SAME conv (exact in fp32, incl. borders)."""
+    rng = np.random.default_rng(0)
+    for (h, w, cin, cout) in [(5, 7, 6, 10), (8, 8, 4, 4), (1, 3, 3, 5)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        p = {"kernel": jnp.asarray(
+                 rng.standard_normal((3, 3, cin, cout)), jnp.float32),
+             "bias": jnp.asarray(rng.standard_normal((cout,)), jnp.float32)}
+        ref = pnn.conv2d(pnn.nearest_upsample_2x(x), p, padding=1)
+        out = pnn.upsample_conv2d(x, p)
+        assert_close(out, np.asarray(ref), rtol=1e-5, atol=1e-5,
+                     name=f"upsample_conv {h}x{w} {cin}->{cout}")
+        ref_nb = pnn.conv2d(pnn.nearest_upsample_2x(x),
+                            {"kernel": p["kernel"]}, padding=1)
+        out_nb = pnn.upsample_conv2d(x, {"kernel": p["kernel"]})
+        assert_close(out_nb, np.asarray(ref_nb), rtol=1e-5, atol=1e-5,
+                     name="upsample_conv nobias")
+
+
+def test_upsample_conv2d_int8_close():
+    """int8 path: phase kernels are quantized fresh (per-cout over 4K
+    channels) — not bit-identical to quantizing the 3x3 kernel, but within
+    int8 tolerance of the fp32 result."""
+    from pfd_tpu.ops import quant
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 64)), jnp.float32)
+    p = {"kernel": jnp.asarray(
+             rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.05),
+         "bias": jnp.asarray(rng.standard_normal((64,)), jnp.float32)}
+    fp = np.asarray(pnn.upsample_conv2d(x, p))
+    q, s = quant.quantize_weight(p["kernel"])
+    qp = {"kernel_q": q, "kernel_scale": s, "bias": p["bias"]}
+    out = np.asarray(pnn.upsample_conv2d(x, qp))
+    ref_q = np.asarray(pnn.conv2d(pnn.nearest_upsample_2x(x), qp, padding=1))
+    err_new = np.abs(out - fp).max()
+    err_old = np.abs(ref_q - fp).max()
+    assert np.isfinite(out).all()
+    # comparable quantization noise to the existing int8 conv path
+    assert err_new < max(4.0 * err_old, 0.05), (err_new, err_old)
