@@ -235,18 +235,28 @@ class DDIMSampler:
                                           self_attn_fn=self_attn_fn)
             return guide(e), cache
 
+        # eta == 0 makes every sigma exactly 0 (a static numpy fact at trace
+        # time): skip generating the dead full-latent normal inside the scan.
+        # The key SPLITS are kept so the rng stream/threading is identical.
+        no_eta_noise = bool(np.all(per_step_np[:, 4] == 0.0))
+
         def ddim_update(xt, key, row, e_t):
             a_t, a_prev, sqrt_1m_a, sigma = row[1], row[2], row[3], row[4]
             xf = xt.astype(jnp.float32)
             pred_x0 = (xf - sqrt_1m_a * e_t) / jnp.sqrt(a_t)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * e_t
             key, nkey = jax.random.split(key)
-            noise = sigma * jax.random.normal(nkey, xf.shape, jnp.float32) * temperature
-            if noise_dropout > 0.0:
-                # reference applies dropout to the eta-noise (ddim.py:167-168)
-                key, dkey = jax.random.split(key)
-                keep = jax.random.bernoulli(dkey, 1.0 - noise_dropout, noise.shape)
-                noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
+            if no_eta_noise:
+                noise = 0.0
+            else:
+                noise = (sigma * jax.random.normal(nkey, xf.shape, jnp.float32)
+                         * temperature)
+                if noise_dropout > 0.0:
+                    # reference applies dropout to the eta-noise (ddim.py:167-168)
+                    key, dkey = jax.random.split(key)
+                    keep = jax.random.bernoulli(dkey, 1.0 - noise_dropout,
+                                                noise.shape)
+                    noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
             return x_prev.astype(xt.dtype), key, pred_x0
 
