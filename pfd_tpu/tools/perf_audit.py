@@ -146,6 +146,8 @@ def main():
         audit_vae(config, registry, BF16, n, size, key, rows)
     if "upconv" in sections:
         audit_upconv(nn, b, hl, key, dt, iters, rows)
+    if "actq" in sections:
+        audit_actq(nn, b, hl, key, dt, iters, rows)
 
 
 def audit_fused(nn, b, hl, key, dt, iters, rows):
@@ -356,6 +358,32 @@ def audit_upconv(nn, b, hl, key, dt, iters, rows):
         sec = timeit(lambda x: nn.upsample_conv2d(x, pq), x, iters)
         rows.append(report_row(f"upconv_fused_int8_{side}x{side}x{ch}", sec,
                                f_naive))
+
+
+def audit_actq(nn, b, hl, key, dt, iters, rows):
+    """Dynamic activation-quant overhead (AUDIT_SECTIONS=actq): int8 conv
+    cost at the level shapes under the exact abs-max reduce vs the strided
+    subsample estimate (ops/quant.PFD_ACT_AMAX_STRIDE), vs the bf16 conv."""
+    from pfd_tpu.ops import quant as _q
+
+    for side, ch in [(hl, 320), (hl // 2, 640), (hl // 4, 1280)]:
+        x = jax.random.normal(key, (b, side, side, ch), dt)
+        k3 = jax.random.normal(key, (3, 3, ch, ch), dt) * 0.02
+        f = 2 * b * side * side * 9 * ch * ch
+        p = {"kernel": k3, "bias": jnp.zeros((ch,), dt)}
+        sec = timeit(lambda x: nn.conv2d(x, p, padding=1), x, iters)
+        rows.append(report_row(f"actq_conv_bf16_{side}x{side}x{ch}", sec, f))
+        q8, s8 = _q.quantize_weight(k3)
+        pq = {"kernel_q": q8, "kernel_scale": s8, "bias": p["bias"]}
+        old = _q._AMAX_STRIDE
+        try:
+            for stride in (1, 4):
+                _q._AMAX_STRIDE = stride
+                sec = timeit(lambda x: nn.conv2d(x, pq, padding=1), x, iters)
+                rows.append(report_row(
+                    f"actq_conv_int8_s{stride}_{side}x{side}x{ch}", sec, f))
+        finally:
+            _q._AMAX_STRIDE = old
 
 
 def audit_ops(nn, flash, b, hl, key, dt, iters, rows):

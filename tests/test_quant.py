@@ -114,3 +114,32 @@ def test_unet_forward_int8_close():
     gotf = np.asarray(got, np.float64).ravel()
     cos = float(wantf @ gotf / (np.linalg.norm(wantf) * np.linalg.norm(gotf)))
     assert cos > 0.995, cos
+
+
+def test_quantize_act_strided_amax():
+    """PFD_ACT_AMAX_STRIDE>1: abs-max from a spatial subsample. The scale
+    may only shrink (missed outliers), never grow; quantized output stays
+    within clipping of the exact-scale path."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    x8, s = quant.quantize_act(x)
+    old = quant._AMAX_STRIDE
+    try:
+        quant._AMAX_STRIDE = 4
+        x8s, ss = quant.quantize_act(x)
+    finally:
+        quant._AMAX_STRIDE = old
+    assert float(ss) <= float(s) * (1 + 1e-6)
+    # dequantized results agree to within the (coarser) quant step + clip
+    err = np.abs(np.asarray(x8s, np.float32) * float(ss)
+                 - np.asarray(x8, np.float32) * float(s))
+    inlier = np.abs(np.asarray(x)) <= 127.0 * float(ss)
+    assert err[np.asarray(inlier)].max() <= float(s) + float(ss)
+    # tiny spatial tensors (below 2*stride) fall back to the exact reduce
+    y = jnp.asarray(rng.standard_normal((2, 4, 4, 8)), jnp.float32)
+    try:
+        quant._AMAX_STRIDE = 4
+        _, sy = quant.quantize_act(y)
+    finally:
+        quant._AMAX_STRIDE = old
+    np.testing.assert_allclose(float(sy), float(quant.quantize_act(y)[1]))
