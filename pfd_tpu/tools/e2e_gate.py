@@ -168,6 +168,7 @@ def main():
     variants["int8_cfg2"] = (qparams, self_attn_fn, 1, model, None, 2)
     variants["bf16_cfg2"] = (params, self_attn_fn, 1, model, None, 2)
     variants["int8_turbo2_cfg2"] = (qparams, self_attn_fn, 2, model, None, 2)
+    variants["int8_turbo3_cfg3"] = (qparams, self_attn_fn, 3, model, None, 3)
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —

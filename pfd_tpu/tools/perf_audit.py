@@ -336,26 +336,33 @@ def audit_upconv(nn, b, hl, key, dt, iters, rows):
     decoder level shapes. AUDIT_SECTIONS=upconv."""
     from pfd_tpu.ops import quant as _q
 
+    # NOTE: upsampling convs are not shape-preserving, so the chained
+    # slope `timeit` cannot be used (the chain would double the spatial
+    # size every call) — each row is fetch-forced individually.
     for side, ch in [(hl // 2, 640), (hl // 4, 1280), (hl // 8, 1280),
                      (hl, 512), (hl * 2, 512), (hl * 4, 256)]:
         x = jax.random.normal(key, (b, side, side, ch), dt)
         k3 = jax.random.normal(key, (3, 3, ch, ch), dt) * 0.02
         p = {"kernel": k3, "bias": jnp.zeros((ch,), dt)}
         f_naive = 2 * b * (2 * side) ** 2 * 9 * ch * ch
-        sec = timeit(lambda x: nn.conv2d(nn.nearest_upsample_2x(x), p,
-                                         padding=1), x, iters)
+        sec = timeit_dispatch(
+            lambda p, x: nn.conv2d(nn.nearest_upsample_2x(x), p, padding=1),
+            p, x, iters=iters)
         rows.append(report_row(f"upconv_naive_{side}x{side}x{ch}", sec,
                                f_naive))
-        sec = timeit(lambda x: nn.upsample_conv2d(x, p), x, iters)
+        sec = timeit_dispatch(lambda p, x: nn.upsample_conv2d(x, p),
+                              p, x, iters=iters)
         rows.append(report_row(f"upconv_fused_{side}x{side}x{ch}", sec,
                                f_naive))
         q8, s8 = _q.quantize_weight(k3)
         pq = {"kernel_q": q8, "kernel_scale": s8, "bias": p["bias"]}
-        sec = timeit(lambda x: nn.conv2d(nn.nearest_upsample_2x(x), pq,
-                                         padding=1), x, iters)
+        sec = timeit_dispatch(
+            lambda p, x: nn.conv2d(nn.nearest_upsample_2x(x), p, padding=1),
+            pq, x, iters=iters)
         rows.append(report_row(f"upconv_naive_int8_{side}x{side}x{ch}", sec,
                                f_naive))
-        sec = timeit(lambda x: nn.upsample_conv2d(x, pq), x, iters)
+        sec = timeit_dispatch(lambda p, x: nn.upsample_conv2d(x, p),
+                              pq, x, iters=iters)
         rows.append(report_row(f"upconv_fused_int8_{side}x{side}x{ch}", sec,
                                f_naive))
 
