@@ -162,7 +162,8 @@ def bench_headline(shared):
         "metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
                   + ("_int8" if QUANT else "")
                   + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
-                  + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else ""),
+                  + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else "")
+                  + (f"_tome{TOME:g}" if TOME > 0 else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 2.0, 4),
@@ -263,7 +264,8 @@ def bench_dp_serve(shared):
     ips = dp_batch / dt
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ref_batch{dp_batch}"
                     + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
-                    + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else ""),
+                    + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else "")
+                    + (f"_tome{TOME:g}" if TOME > 0 else ""),
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})
 

@@ -362,19 +362,6 @@ class DDIMSampler:
             e_t = e_c.astype(jnp.float32) + (scale - 1.0) * delta
             return ddim_update(xt, key, row, e_t)
 
-        # lead-in remainder (n_steps % k earliest steps): full CFG, unrolled
-        r = n_steps % k
-        x_cur, key_cur, lead_px0 = x, rng, None
-        for j in range(r):
-            row = jnp.asarray(per_step_np[j], jnp.float32)
-            x_cur, key_cur, lead_px0, _, _ = full_step(x_cur, key_cur, row)
-
-        if n_steps < k:
-            return x_cur, {"pred_x0": lead_px0}
-
-        rows_grouped = jnp.asarray(
-            per_step_np[r:].reshape(n_steps // k, k, 5), jnp.float32)
-
         def group(carry, rows):
             xt, key = carry
             xt, key, px0, delta, cache = full_step(xt, key, rows[0])
@@ -382,6 +369,28 @@ class DDIMSampler:
                 xt, key, px0 = reuse_step(xt, key, rows[j], delta, cache)
             return (xt, key), px0
 
-        (x_final, _), px0s = jax.lax.scan(group, (x_cur, key_cur),
-                                          rows_grouped)
-        return x_final, {"pred_x0": px0s[-1]}
+        # The n_steps % k remainder runs as a TRAILING partial group (one
+        # full CFG step + r-1 reuse steps, unrolled) so the full-step
+        # schedule stays exactly i % k == 0 — the same key-step schedule as
+        # plain encoder propagation, which the scale-1 equivalence (and the
+        # composed cache reuse) depends on. A lead-in remainder would shift
+        # every group's key step off that schedule.
+        r = n_steps % k
+        n_grouped = n_steps - r
+        x_cur, key_cur, last_px0 = x, rng, None
+        if n_grouped:
+            rows_grouped = jnp.asarray(
+                per_step_np[:n_grouped].reshape(n_grouped // k, k, 5),
+                jnp.float32)
+            (x_cur, key_cur), px0s = jax.lax.scan(group, (x_cur, key_cur),
+                                                  rows_grouped)
+            last_px0 = px0s[-1]
+        if r:
+            row = jnp.asarray(per_step_np[n_grouped], jnp.float32)
+            x_cur, key_cur, last_px0, delta, cache = full_step(
+                x_cur, key_cur, row)
+            for j in range(1, r):
+                row = jnp.asarray(per_step_np[n_grouped + j], jnp.float32)
+                x_cur, key_cur, last_px0 = reuse_step(
+                    x_cur, key_cur, row, delta, cache)
+        return x_cur, {"pred_x0": last_px0}

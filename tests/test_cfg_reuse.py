@@ -34,26 +34,29 @@ def _ci(c, scale):
             "unconditional_guidance_scale": scale}
 
 
-def test_cfg_reuse_scale1_exact():
+@pytest.mark.parametrize("k", [2, 3])
+def test_cfg_reuse_scale1_exact(k):
+    # k=3 with 8 steps also exercises the 8 % 3 == 2 unrolled lead-in.
     params, sampler, tables, c, x0 = _setup()
     ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
                                _ci(c, 1.0), tables)
     out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
-                               _ci(c, 1.0), tables, cfg_interval=2)
+                               _ci(c, 1.0), tables, cfg_interval=k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
 
 
-def test_cfg_reuse_scale1_exact_with_encoder_cache():
+@pytest.mark.parametrize("k", [2, 3])
+def test_cfg_reuse_scale1_exact_with_encoder_cache(k):
     """Composed with encoder propagation at the same interval, scale 1 must
     match encoder propagation ALONE (the delta term vanishes; reuse steps
     decode the cached conditional half)."""
     params, sampler, tables, c, x0 = _setup()
     ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
-                               _ci(c, 1.0), tables, encoder_interval=2)
+                               _ci(c, 1.0), tables, encoder_interval=k)
     out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
-                               _ci(c, 1.0), tables, encoder_interval=2,
-                               cfg_interval=2)
+                               _ci(c, 1.0), tables, encoder_interval=k,
+                               cfg_interval=k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
 
