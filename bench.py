@@ -270,7 +270,7 @@ def bench_dp_serve(shared):
           "vs_baseline": round(ips / 2.0, 4)})
 
 
-def _wait_for_tpu(max_wait_s=_env_int("BENCH_WAIT_TPU_S", 600)):
+def _wait_for_tpu(max_wait_s=_env_int("BENCH_WAIT_TPU_S", 1800)):
     """The axon tunnel flaps: backend init either raises UNAVAILABLE or
     hangs. Probe it in a subprocess (so a hang can't wedge this process)
     and retry for a bounded window before starting the bench proper.
@@ -300,8 +300,27 @@ def _wait_for_tpu(max_wait_s=_env_int("BENCH_WAIT_TPU_S", 600)):
         time.sleep(20)
 
 
+def _claim_tpu_priority():
+    """Signal cooperating background measurement queues (the /tmp drive
+    scripts) to yield the single TPU: they pause — and preempt their
+    in-flight task — while /tmp/tpu_yield exists. Removed at exit. The
+    queues set BENCH_NO_YIELD=1 for their own bench invocations (else
+    they would preempt themselves)."""
+    import atexit
+    if os.environ.get("BENCH_NO_YIELD"):
+        return
+    try:
+        with open("/tmp/tpu_yield", "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(lambda: os.path.exists("/tmp/tpu_yield")
+                        and os.remove("/tmp/tpu_yield"))
+    except OSError:
+        pass
+
+
 def main():
     which = os.environ.get("BENCH_CONFIGS", "headline")
+    _claim_tpu_priority()
     if _env_int("BENCH_WAIT_TPU_S", 600) > 0:
         _wait_for_tpu()
     shared = {}

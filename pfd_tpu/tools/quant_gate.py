@@ -111,6 +111,11 @@ def main():
         # the regime where guidance actually bends the trajectory
         gate("int8_cfg2", sample(qparams, cfg_interval=2))
         gate("int8_turbo2_cfg2", sample(qparams, interval=2, cfg_interval=2))
+        gate("int8_turbo3_cfg3", sample(qparams, interval=3, cfg_interval=3))
+        # maximal composition: every gated turbo at once
+        gate("int8_tome5_turbo2_cfg2", sample(
+            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5),
+            interval=2, cfg_interval=2))
 
 
 if __name__ == "__main__":
