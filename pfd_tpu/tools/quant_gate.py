@@ -87,35 +87,43 @@ def main():
             "finite": bool(np.isfinite(img).all()),
         }), flush=True)
 
-    gate("int8", sample(qparams))
+    # GATE_ONLY=comma-list selects specific rows (each row is its own full
+    # 50-step remote compile, so re-running already-recorded ones is
+    # expensive); default/GATE_EXTRA behavior unchanged.
+    from pfd_tpu.ops.tome import make_tome_attn
 
-    # GATE_EXTRA=1: turbo variants + the chaos control under THIS weight
-    # proxy (model.init fan-in weights — a different dynamical regime than
-    # e2e_gate's torch-matched randomize_params weights; see PARITY.md)
-    if os.environ.get("GATE_EXTRA") == "1":
-        from pfd_tpu.ops.tome import make_tome_attn
-
-        eps_x = x_start + 1e-3 * jnp.asarray(
-            np.random.default_rng(11).standard_normal(x_start.shape),
-            jnp.float32)
-        gate("bf16eps", sample(params, x0=eps_x))
-        gate("int8_turbo2", sample(qparams, interval=2))
-        gate("int8_tome3", sample(
-            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)))
-        gate("int8_tome5", sample(
-            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)))
-        gate("int8_tome5_turbo2", sample(
-            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5),
-            interval=2))
+    eps_x = x_start + 1e-3 * jnp.asarray(
+        np.random.default_rng(11).standard_normal(x_start.shape),
+        jnp.float32)
+    tome3 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)
+    tome5 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)
+    rows = {
+        "int8": lambda: sample(qparams),
+        "bf16eps": lambda: sample(params, x0=eps_x),
+        "int8_turbo2": lambda: sample(qparams, interval=2),
+        "int8_tome3": lambda: sample(qparams, attn=tome3),
+        "int8_tome5": lambda: sample(qparams, attn=tome5),
+        "int8_tome5_turbo2": lambda: sample(qparams, attn=tome5, interval=2),
         # CFG-delta reuse (ddim.py cfg_interval) under the fan-in proxy —
         # the regime where guidance actually bends the trajectory
-        gate("int8_cfg2", sample(qparams, cfg_interval=2))
-        gate("int8_turbo2_cfg2", sample(qparams, interval=2, cfg_interval=2))
-        gate("int8_turbo3_cfg3", sample(qparams, interval=3, cfg_interval=3))
+        "int8_cfg2": lambda: sample(qparams, cfg_interval=2),
+        "int8_turbo2_cfg2": lambda: sample(qparams, interval=2,
+                                           cfg_interval=2),
+        "int8_turbo3_cfg3": lambda: sample(qparams, interval=3,
+                                           cfg_interval=3),
         # maximal composition: every gated turbo at once
-        gate("int8_tome5_turbo2_cfg2", sample(
-            qparams, attn=make_tome_attn(self_attn_fn, (64, 64), ratio=0.5),
-            interval=2, cfg_interval=2))
+        "int8_tome5_turbo2_cfg2": lambda: sample(qparams, attn=tome5,
+                                                 interval=2, cfg_interval=2),
+    }
+    only = os.environ.get("GATE_ONLY")
+    if only:
+        names = [n for n in only.split(",") if n]
+    elif os.environ.get("GATE_EXTRA") == "1":
+        names = list(rows)
+    else:
+        names = ["int8"]
+    for name in names:
+        gate(name, rows[name]())
 
 
 if __name__ == "__main__":
