@@ -94,36 +94,51 @@ def register(name):
 def get_unit(spec):
     """Resolve a unit spec string (reference utils.py:62-88).
 
-    ``None``/'none' -> None; a bare name -> the registered unit; a name with
-    an argument list -> ``functools.partial(unit, **parsed_kwargs)``.
+    ``None``/'none' -> None; a bare name -> the registered unit factory; a
+    name with an argument list -> ``functools.partial(factory,
+    **parsed_kwargs)``. Every non-None result follows the reference's
+    uniform resolve -> instantiate -> call contract: ``get_unit(spec)()``
+    yields the callable (class units construct; function units return the
+    function from a zero-arg factory), so spec-driven code can treat all
+    units interchangeably.
     """
     if spec is None:
         return None
     i = spec.find("(")
     i = len(spec) if i == -1 else i
     unit = _UNITS[spec[:i].strip()]
-    argstr = spec[i:].strip("()")
-    if not argstr:
+    # slice off exactly one layer of parens: .strip('()') would also eat the
+    # closing paren of a tuple value in final position, e.g. 'se(k=(1,2))'
+    argstr = "" if i == len(spec) else spec[i + 1:spec.rfind(")")]
+    if not argstr.strip():
         return unit
     return functools.partial(unit, **_parse_kwargs(argstr))
 
 
+def _fn_unit(name, fn):
+    """Register a plain function as a zero-arg factory so function units
+    share the class units' instantiate-then-call contract."""
+    register(name)(lambda: fn)
+    return fn
+
+
 register("none")(None)
-register("relu")(jax.nn.relu)
-register("relu6")(jax.nn.relu6)
+relu = _fn_unit("relu", jax.nn.relu)
+relu6 = _fn_unit("relu6", jax.nn.relu6)
 
 
 @register("lrelu")
-def lrelu(x, negative_slope=0.01):
-    return jax.nn.leaky_relu(x, negative_slope)
+def lrelu(negative_slope=0.01):
+    """Factory: lrelu(negative_slope=a)() -> leaky-relu callable."""
+    return lambda x: jax.nn.leaky_relu(x, negative_slope)
 
 
 @register("dropout")
 @register("dropout2d")
-def dropout_eval(x, p=0.5):
+def dropout_eval(p=0.5):
     """Inference-mode dropout = identity (the live reference runs eval())."""
     del p
-    return x
+    return lambda x: x
 
 
 @register("sine")
@@ -140,10 +155,12 @@ class Sine:
         return f"sine(freq={self.freq}, gain={self.gain})"
 
 
-@register("relusine")
 def relusine(x):
     """sin(30x) + relu(x) (reference utils.py:108-115)."""
     return jnp.sin(30.0 * x) + jax.nn.relu(x)
+
+
+_fn_unit("relusine", relusine)
 
 
 @register("lrelu_agc")

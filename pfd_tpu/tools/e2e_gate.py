@@ -25,6 +25,15 @@ Variants (select with GATE_VARIANTS=comma-list, default all):
                 cfg_interval=2), alone and composed with encoder
                 propagation
 
+GATE_SET=control switches to the ControlNet serving path (BASELINE config
+#3), scored against the torch-with-control cache written by
+tests/test_e2e_fullsize_control.py (shared hint image, control in c_info —
+app.py:243-270 semantics). Control variants: ctl_fp32 (regression control),
+ctl_bf16, ctl_int8 (the current exact serving config), ctl_int8_cfg2
+(CFG-delta reuse; reuse steps run the ControlNet on the conditional half
+only — nothing stale), ctl_int8_turbo2_cfg2 (composed with encoder
+propagation: cached control residuals on reuse steps).
+
 Usage: python -m pfd_tpu.tools.e2e_gate   (TPU; one full compile per variant)
 Reference recipe matched: app.py:212-275 semantics via lib/model_zoo/ddim.py.
 """
@@ -80,6 +89,91 @@ def reference_weights():
     sd = ref_utils.sd_numpy(ref_net)
     del ref_net
     return (vae_cfg, ctx_cfg, unet_cfg), sd
+
+
+def main_control():
+    """ControlNet serving-path gates vs the torch-with-control cache."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from tests.test_e2e_fullsize_control import build_reference_control_net
+    from tests import ref_utils
+
+    ref = np.load(os.path.join(CACHE, "e2e_fullsize_control_ref.npz"))
+    img_ref = ref["img_ref"]
+
+    (vae_cfg, ctx_cfg, unet_cfg, ctl_args), ref_net = \
+        build_reference_control_net()
+    sd = ref_utils.sd_numpy(ref_net)
+    del ref_net
+
+    def build(policy=None):
+        kw = {"policy": policy} if policy is not None else {}
+        return registry.get("pfd_with_control")(
+            vae_cfg_list=[["image", vae_cfg]],
+            ctx_cfg_list=[["image", ctx_cfg]],
+            diffuser_cfg_list=[["image", unet_cfg]],
+            ctl_cfg={"type": "controlnet", "args": ctl_args},
+            latent_scale_factor={"image": 0.18215},
+            beta_linear_start=0.00085, beta_linear_end=0.012,
+            timesteps=1000, **kw)
+
+    model = build(BF16)
+    model32 = build()
+    params = torch_sd_to_pytree(sd)
+    del sd
+    qparams = dict(params)
+    qparams["diffuser"] = quant.quantize_params(params["diffuser"])
+    qparams["vae"] = quant.quantize_params(params["vae"])
+    qparams["ctl"] = quant.quantize_params(params["ctl"])
+
+    rng = np.random.default_rng(5)
+    ref_img = jnp.asarray(rng.random((1, 512, 512, 3), dtype=np.float32))
+    x_start = jnp.asarray(
+        rng.standard_normal((1, 4, 64, 64)).astype(np.float32)
+        .transpose(0, 2, 3, 1))
+    hint = jnp.asarray(rng.random((1, 3, 512, 512), dtype=np.float32)
+                       .transpose(0, 2, 3, 1))
+
+    def run(p, attn, interval, m=model, cfg_interval=1):
+        c = m.ctx_encode(p, ref_img, "image")
+        x, _ = DDIMSampler(m).sample(
+            p, jax.random.PRNGKey(0), (1, 64, 64, 4),
+            x_info={"xt": x_start},
+            c_info={"conditioning": c,
+                    "unconditional_conditioning": jnp.zeros_like(c),
+                    "unconditional_guidance_scale": 2.0, "control": hint},
+            steps=50, eta=0.0, self_attn_fn=attn,
+            encoder_interval=interval, cfg_interval=cfg_interval)
+        return np.asarray(m.vae_decode(p, x, "image"))
+
+    variants = {
+        "ctl_fp32": lambda: run(params, None, 1, m=model32),
+        "ctl_bf16": lambda: run(params, self_attn_fn, 1),
+        "ctl_int8": lambda: run(qparams, self_attn_fn, 1),
+        "ctl_int8_cfg2": lambda: run(qparams, self_attn_fn, 1,
+                                     cfg_interval=2),
+        "ctl_int8_turbo2_cfg2": lambda: run(qparams, self_attn_fn, 2,
+                                            cfg_interval=2),
+    }
+    sel = os.environ.get("GATE_VARIANTS")
+    names = sel.split(",") if sel else list(variants)
+    results, bf16_img = {}, None
+    for name in names:
+        img = variants[name]()
+        s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
+                 data_range=1.0)
+        results[name] = round(float(s), 5)
+        row = {"variant": name, "ssim_vs_torch_fp32": results[name],
+               "finite": bool(np.isfinite(img).all()),
+               "gate_0.95": bool(s >= 0.95)}
+        if name == "ctl_bf16":
+            bf16_img = img
+        elif bf16_img is not None:
+            row["ssim_vs_bf16"] = round(float(ssim(
+                np.clip(img[0], 0, 1), np.clip(bf16_img[0], 0, 1),
+                data_range=1.0)), 5)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"all": results}), flush=True)
 
 
 def main():
@@ -207,4 +301,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GATE_SET") == "control":
+        main_control()
+    else:
+        main()

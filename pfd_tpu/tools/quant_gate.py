@@ -17,6 +17,7 @@ Usage: python -m pfd_tpu.tools.quant_gate   (TPU, ~15 min first compile)
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import jax
@@ -46,9 +47,30 @@ def _dezero(params, key=0, scale=0.04):
     return jax.tree.map(fix, params)
 
 
-def main():
-    import os
+# static row-name set, checked against the rows dict in main(); GATE_ONLY is
+# validated against this BEFORE the bf16 baseline burns a 5-15 min remote
+# compile on a typo'd name
+ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
+             "int8_tome5_turbo2", "int8_cfg2", "int8_turbo2_cfg2",
+             "int8_turbo3_cfg3", "int8_tome5_turbo2_cfg2")
 
+
+def _gate_names():
+    only = os.environ.get("GATE_ONLY")
+    if only:
+        names = [n for n in only.split(",") if n]
+        unknown = sorted(set(names) - set(ROW_NAMES))
+        if unknown:
+            raise SystemExit(f"GATE_ONLY names not in row set: {unknown}; "
+                             f"valid: {sorted(ROW_NAMES)}")
+        return names
+    if os.environ.get("GATE_EXTRA") == "1":
+        return list(ROW_NAMES)
+    return ["int8"]
+
+
+def main():
+    names = _gate_names()  # validate the selection before any TPU work
     cfg = config.model_cfg("pfd_seecoder")["args"]
     cfg["vae_cfg_list"][0][1]["args"].setdefault("lossconfig", None)
     cfg["ctx_cfg_list"][0][1]["args"]["imencoder_cfg"]["args"][
@@ -115,13 +137,7 @@ def main():
         "int8_tome5_turbo2_cfg2": lambda: sample(qparams, attn=tome5,
                                                  interval=2, cfg_interval=2),
     }
-    only = os.environ.get("GATE_ONLY")
-    if only:
-        names = [n for n in only.split(",") if n]
-    elif os.environ.get("GATE_EXTRA") == "1":
-        names = list(rows)
-    else:
-        names = ["int8"]
+    assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:
         gate(name, rows[name]())
 

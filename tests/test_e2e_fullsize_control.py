@@ -86,6 +86,7 @@ def build_reference_control_net():
 @pytest.mark.slow
 def test_e2e_fullsize_control_ddim50_ssim():
     import torch
+    ref_utils.load_reference()  # must precede any `lib.` import
     from lib.model_zoo.ddim import DDIMSampler as RefDDIM
 
     # reference quirk fixes needed to run its own code on CPU (PARITY.md #6, #7)

@@ -28,10 +28,16 @@ def test_spec_string_grammar(ref):
     assert got.keywords == want.keywords
     assert units.get_unit("none") is None
     assert units.get_unit(None) is None
-    assert units.get_unit("relusine") is units.relusine
+    # uniform instantiate-then-call contract: function units resolve to a
+    # zero-arg factory, like the reference's class registrations
+    assert units.get_unit("relusine")() is units.relusine
+    assert units.get_unit("lrelu")()(jnp.asarray(-1.0)) == -0.01
     # tuple/list/bool values through the grammar
     kw = units.get_unit("se(in_dim=2, out_dim=8, cat_input=False)").keywords
     assert kw == {"in_dim": 2, "out_dim": 8, "cat_input": False}
+    # a tuple value in FINAL position keeps its closing paren (one-layer slice)
+    kw = units.get_unit("se(in_dim=2, out_dim=8, k=(1,2))").keywords
+    assert kw["k"] == (1, 2)
 
 
 def test_lrelu_agc_parity(ref):
