@@ -59,6 +59,10 @@ ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 2)
 # guidance delta is extrapolated. Off by default until its own e2e_gate
 # SSIM row passes at the operating point.
 CFG_INTERVAL = _env_int("BENCH_CFG_INTERVAL", 1)
+# DeepCache (ddim.py deep_interval): reuse steps run only the highest-res
+# UNet level. Requires BENCH_CFG_INTERVAL == BENCH_DEEP_INTERVAL. Off until
+# its own e2e_gate SSIM row passes at the operating point.
+DEEP_INTERVAL = _env_int("BENCH_DEEP_INTERVAL", 1)
 
 
 TOME = float(os.environ.get("BENCH_TOME", "0"))
@@ -121,7 +125,9 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
                                  self_attn_fn=attn,
                                  encoder_interval=interval,
                                  cfg_interval=1 if with_control
-                                 else CFG_INTERVAL)
+                                 else CFG_INTERVAL,
+                                 deep_interval=1 if with_control
+                                 else DEEP_INTERVAL)
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -163,6 +169,7 @@ def bench_headline(shared):
                   + ("_int8" if QUANT else "")
                   + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
                   + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else "")
+                  + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
                   + (f"_tome{TOME:g}" if TOME > 0 else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",

@@ -33,7 +33,8 @@ class DDIMSampler:
 
     def sample(self, params, rng, shape, x_info, c_info, steps=50, eta=0.0,
                temperature=1.0, x_type="image", c_type="image",
-               self_attn_fn=None, encoder_interval=1, cfg_interval=1):
+               self_attn_fn=None, encoder_interval=1, cfg_interval=1,
+               deep_interval=1):
         """Eager-friendly entry; mirrors reference sample() (ddim.py:58-79).
 
         x_info: optional dict with 'xt' (start latent) or
@@ -64,7 +65,8 @@ class DDIMSampler:
                               temperature=temperature, x_type=x_type,
                               c_type=c_type, self_attn_fn=self_attn_fn,
                               encoder_interval=encoder_interval,
-                              cfg_interval=cfg_interval)
+                              cfg_interval=cfg_interval,
+                              deep_interval=deep_interval)
 
     def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
                             steps=50, eta=0.0, temperature=1.0,
@@ -136,7 +138,7 @@ class DDIMSampler:
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
                   temperature=1.0, noise_dropout=0.0, x_type="image",
                   c_type="image", self_attn_fn=None, encoder_interval=1,
-                  cfg_interval=1):
+                  cfg_interval=1, deep_interval=1):
         """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
 
         encoder_interval > 1 enables encoder propagation (Faster Diffusion,
@@ -154,7 +156,17 @@ class DDIMSampler:
         SSIM-gated like encoder propagation. Composes with
         encoder_interval when the two intervals are EQUAL (key steps
         coincide: the cached encoder skips are sliced to the conditional
-        half on reuse steps); other combinations are rejected."""
+        half on reuse steps); other combinations are rejected.
+
+        deep_interval > 1 enables DeepCache (arXiv:2312.00858): the deep
+        decoder branch (everything below the highest-resolution level) is
+        cached on key steps; reuse steps run only the shallow suffix. It
+        rides the cfg-reuse group scan, so it requires CFG and
+        cfg_interval == deep_interval. With encoder_interval == 1 the
+        shallow ENCODER re-runs fresh each reuse step (the current latent
+        still enters the model — DeepCache proper); with
+        encoder_interval == deep_interval the cached shallow skips are
+        reused too (maximal turbo). Output-changing, SSIM-gated."""
         model = self.model
         cond = c_info["conditioning"]
         uncond = c_info.get("unconditional_conditioning")
@@ -260,6 +272,16 @@ class DDIMSampler:
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
             return x_prev.astype(xt.dtype), key, pred_x0
 
+        if deep_interval > 1:
+            assert use_cfg and cfg_interval == deep_interval, (
+                "deep_interval rides the cfg-reuse group scan: it requires "
+                "CFG and cfg_interval == deep_interval")
+            assert (control is None and control_embed is None) \
+                or encoder_interval == deep_interval, (
+                "DeepCache with ControlNet requires the encoder cache "
+                "(encoder_interval == deep_interval): fresh shallow skips "
+                "would need the full ControlNet forward")
+
         if cfg_interval > 1 and use_cfg:
             assert encoder_interval in (1, cfg_interval), (
                 "cfg_interval composes with encoder_interval only when the "
@@ -269,7 +291,8 @@ class DDIMSampler:
                 cond=cond, scale=scale, control=control,
                 control_embed=control_embed, x_type=x_type, c_type=c_type,
                 self_attn_fn=self_attn_fn, cfg_interval=cfg_interval,
-                use_enc_cache=encoder_interval > 1)
+                use_enc_cache=encoder_interval > 1,
+                use_deep=deep_interval > 1)
 
         if encoder_interval <= 1:
             def step(carry, inp):
@@ -309,17 +332,22 @@ class DDIMSampler:
     def _sample_fn_cfg_reuse(self, params, rng, x, per_step_np, n_steps,
                              make_inputs, ddim_update, *, cond, scale,
                              control, control_embed, x_type, c_type,
-                             self_attn_fn, cfg_interval, use_enc_cache):
+                             self_attn_fn, cfg_interval, use_enc_cache,
+                             use_deep=False):
         """CFG-delta-reuse scan (see sample_fn docstring). The step loop is a
         scan over GROUPS of cfg_interval steps — group step 0 runs the full
-        CFG-doubled model (refreshing the guidance delta, and the encoder
-        cache when composed with encoder propagation); the remaining k-1
-        steps run the conditional half only, decoder-only when the encoder
-        cache is on. Grouping sidesteps lax.cond's same-shape constraint
-        (the model batch differs between full and reuse steps)."""
+        CFG-doubled model (refreshing the guidance delta, the encoder cache
+        when composed with encoder propagation, and the DeepCache deep-branch
+        feature when composed with deep_interval); the remaining k-1 steps
+        run the conditional half only — decoder-only under the encoder
+        cache, shallow-suffix-only under DeepCache. Grouping sidesteps
+        lax.cond's same-shape constraint (the model batch differs between
+        full and reuse steps). Caches flow only WITHIN a group's Python
+        unroll, so they never enter the scan carry."""
         model = self.model
         b = x.shape[0]
         k = cfg_interval
+        n_sh = model.deep_split_skips(x_type) if use_deep else None
 
         def cond_inputs(xt, ts):
             ci = {"type": c_type, "c": cond}
@@ -332,7 +360,20 @@ class DDIMSampler:
         def full_step(xt, key, row):
             ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
             x_in, t_in, ci = make_inputs(xt, ts)
-            if use_enc_cache:
+            deep = None
+            if use_deep:
+                h_mid, hs = model.apply_model_encoder(
+                    params, {"type": x_type, "x": x_in}, t_in, ci,
+                    self_attn_fn=self_attn_fn)
+                h_deep = model.apply_model_decoder_deep(
+                    params, h_mid, hs[n_sh:], t_in, ci, x_type=x_type,
+                    self_attn_fn=self_attn_fn)
+                e = model.apply_model_decoder_shallow(
+                    params, h_deep, hs[:n_sh], t_in, ci, x_type=x_type,
+                    self_attn_fn=self_attn_fn)
+                deep = h_deep[b:]  # cond half only — all a reuse step needs
+                cache = (h_mid, hs) if use_enc_cache else None
+            elif use_enc_cache:
                 cache = model.apply_model_encoder(
                     params, {"type": x_type, "x": x_in}, t_in, ci,
                     self_attn_fn=self_attn_fn)
@@ -346,12 +387,23 @@ class DDIMSampler:
             e_uc, e_c = jnp.split(e.astype(jnp.float32), 2, axis=0)
             delta = e_c - e_uc
             x_prev, key, px0 = ddim_update(xt, key, row, e_uc + scale * delta)
-            return x_prev, key, px0, delta, cache
+            return x_prev, key, px0, delta, cache, deep
 
-        def reuse_step(xt, key, row, delta, cache):
+        def reuse_step(xt, key, row, delta, cache, deep):
             ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
             x_in, t_in, ci = cond_inputs(xt, ts)
-            if use_enc_cache:
+            if use_deep:
+                if use_enc_cache:
+                    hs_sh = jax.tree.map(lambda a: a[b:],
+                                         tuple(cache[1][:n_sh]))
+                else:
+                    hs_sh = model.apply_model_encoder_shallow(
+                        params, {"type": x_type, "x": x_in}, t_in, ci,
+                        self_attn_fn=self_attn_fn)
+                e_c = model.apply_model_decoder_shallow(
+                    params, deep, hs_sh, t_in, ci, x_type=x_type,
+                    self_attn_fn=self_attn_fn)
+            elif use_enc_cache:
                 ch, chs = jax.tree.map(lambda a: a[b:], cache)  # cond half
                 e_c = model.apply_model_decoder(
                     params, ch, chs, t_in, ci, x_type=x_type,
@@ -364,9 +416,9 @@ class DDIMSampler:
 
         def group(carry, rows):
             xt, key = carry
-            xt, key, px0, delta, cache = full_step(xt, key, rows[0])
+            xt, key, px0, delta, cache, deep = full_step(xt, key, rows[0])
             for j in range(1, k):
-                xt, key, px0 = reuse_step(xt, key, rows[j], delta, cache)
+                xt, key, px0 = reuse_step(xt, key, rows[j], delta, cache, deep)
             return (xt, key), px0
 
         # The n_steps % k remainder runs as a TRAILING partial group (one
@@ -387,10 +439,10 @@ class DDIMSampler:
             last_px0 = px0s[-1]
         if r:
             row = jnp.asarray(per_step_np[n_grouped], jnp.float32)
-            x_cur, key_cur, last_px0, delta, cache = full_step(
+            x_cur, key_cur, last_px0, delta, cache, deep = full_step(
                 x_cur, key_cur, row)
             for j in range(1, r):
                 row = jnp.asarray(per_step_np[n_grouped + j], jnp.float32)
                 x_cur, key_cur, last_px0 = reuse_step(
-                    x_cur, key_cur, row, delta, cache)
+                    x_cur, key_cur, row, delta, cache, deep)
         return x_cur, {"pred_x0": last_px0}

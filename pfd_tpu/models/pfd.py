@@ -174,6 +174,45 @@ class PromptFreeDiffusion:
         return self.diffuser[x_type].apply_decoder(
             merged, h, hs, timesteps, c_info["c"], self_attn_fn=self_attn_fn)
 
+    # ---- DeepCache split (arXiv:2312.00858; no reference counterpart — the
+    # reference runs the full UNet every step, lib/model_zoo/ddim.py:145-150).
+
+    def deep_split_skips(self, x_type="image"):
+        """Number of shallow skips at the diffuser's DeepCache branch point."""
+        split = self.diffuser[x_type].decoder_split()
+        assert split is not None, "DeepCache needs a multi-level diffuser"
+        return split[2]
+
+    def apply_model_encoder_shallow(self, params, x_info, timesteps, c_info, *,
+                                    self_attn_fn=None):
+        """Fresh shallow skips for a DeepCache reuse step. ControlNet hints are
+        rejected: the shallow residuals would need the FULL ControlNet forward,
+        defeating the cache — control requests compose DeepCache with the
+        encoder cache instead (residual-folded skips reused wholesale)."""
+        assert c_info.get("control") is None and \
+            c_info.get("control_embed") is None, \
+            "DeepCache fresh-shallow-encoder path does not support ControlNet"
+        x_type = x_info["type"]
+        merged = self._merged_diffuser_params(params, x_type, c_info["type"])
+        return self.diffuser[x_type].apply_encoder_shallow(
+            merged, x_info["x"], timesteps, c_info["c"],
+            self_attn_fn=self_attn_fn)
+
+    def apply_model_decoder_deep(self, params, h, hs_deep, timesteps, c_info,
+                                 *, x_type="image", self_attn_fn=None):
+        merged = self._merged_diffuser_params(params, x_type, c_info["type"])
+        return self.diffuser[x_type].apply_decoder_deep(
+            merged, h, hs_deep, timesteps, c_info["c"],
+            self_attn_fn=self_attn_fn)
+
+    def apply_model_decoder_shallow(self, params, h, hs_shallow, timesteps,
+                                    c_info, *, x_type="image",
+                                    self_attn_fn=None):
+        merged = self._merged_diffuser_params(params, x_type, c_info["type"])
+        return self.diffuser[x_type].apply_decoder_shallow(
+            merged, h, hs_shallow, timesteps, c_info["c"],
+            self_attn_fn=self_attn_fn)
+
     def check_diffuser(self) -> bool:
         """All diffusers must share one layer-order program (pfd.py:297-304)
         — the invariant that makes checkpoint hot-swap recompile-free."""

@@ -299,13 +299,18 @@ class UNetModel2DNext:
     def apply_decoder(self, params, h, hs, timesteps, context, *,
                       self_attn_fn=None, emb=None):
         """Output half given (possibly cached) encoder state."""
+        return self._run_o_ops(params, self.plan.o_ops, h, hs, timesteps,
+                               context, self_attn_fn=self_attn_fn, emb=emb)
+
+    def _run_o_ops(self, params, ops, h, hs, timesteps, context, *,
+                   self_attn_fn=None, emb=None):
         pol = self.policy
         if emb is None:
             emb = self.time_embedding(params, timesteps)
         context = pol.cast(context) if context is not None else None
         dp, cp = params["data_blocks"], params["context_blocks"]
         hs = list(hs)
-        for op in self.plan.o_ops:
+        for op in ops:
             kind = op[0]
             if kind == "load":
                 h = jax.numpy.concatenate([h, hs.pop()], axis=-1)
@@ -318,6 +323,76 @@ class UNetModel2DNext:
                                                spec.n_heads, pol,
                                                self_attn_fn=self_attn_fn)
         return h
+
+    # ---- DeepCache split (arXiv:2312.00858) --------------------------------
+    # The output program is cut at its LAST 'up' block: the shallow suffix is
+    # the highest-resolution decoder level (+ the up transition and the out
+    # head); everything before it is the deep prefix whose output changes
+    # slowly across adjacent denoise steps and can be cached. The matching
+    # encoder prefix is the i_ops slice that produces the shallow skips.
+    # No reference counterpart — the reference has no step-caching at all
+    # (lib/model_zoo/ddim.py runs the full UNet every step).
+
+    def decoder_split(self):
+        """(o_deep, o_shallow, n_shallow_skips); None if single-level."""
+        last_up = None
+        for i, op in enumerate(self.plan.o_ops):
+            if op[0] == "d" and self.plan.data_specs[op[1]].kind == "up":
+                last_up = i
+        if last_up is None:
+            return None
+        o_deep = self.plan.o_ops[:last_up]
+        o_shallow = self.plan.o_ops[last_up:]
+        n_shallow = sum(1 for op in o_shallow if op[0] == "load")
+        return o_deep, o_shallow, n_shallow
+
+    def apply_encoder_shallow(self, params, x, timesteps, context, *,
+                              self_attn_fn=None, emb=None):
+        """The i_ops prefix producing exactly the shallow skips (the first
+        decoder_split()[2] saves); h itself is discarded — the deep branch is
+        cached. Bit-identical to apply_encoder's first saves (unit-tested)."""
+        pol = self.policy
+        if emb is None:
+            emb = self.time_embedding(params, timesteps)
+        x = pol.cast(x)
+        context = pol.cast(context) if context is not None else None
+        dp, cp = params["data_blocks"], params["context_blocks"]
+        n_saves = self.decoder_split()[2]
+
+        hs = []
+        h = x
+        for op in self.plan.i_ops:
+            kind = op[0]
+            if kind == "d":
+                h = apply_data_block(dp[str(op[1])], self.plan.data_specs[op[1]],
+                                     h, emb, pol)
+            elif kind == "c":
+                spec = self.plan.context_specs[op[1]]
+                h = blocks.spatial_transformer(cp[str(op[1])]["0"], h, context,
+                                               spec.n_heads, pol,
+                                               self_attn_fn=self_attn_fn)
+            elif kind == "save":
+                hs.append(h)
+                if len(hs) == n_saves:
+                    return tuple(hs)
+        raise AssertionError("encoder ended before the shallow saves")
+
+    def apply_decoder_deep(self, params, h, hs_deep, timesteps, context, *,
+                           self_attn_fn=None, emb=None):
+        """Deep decoder prefix: consumes the deep skips (saves n_shallow..end),
+        returns the feature entering the shallow suffix (the DeepCache cache
+        point, pre-up so the cached tensor stays at the lower resolution)."""
+        o_deep = self.decoder_split()[0]
+        return self._run_o_ops(params, o_deep, h, hs_deep, timesteps, context,
+                               self_attn_fn=self_attn_fn, emb=emb)
+
+    def apply_decoder_shallow(self, params, h, hs_shallow, timesteps, context,
+                              *, self_attn_fn=None, emb=None):
+        """Shallow decoder suffix: up + highest-res level + out head, fed the
+        (possibly cached) deep feature and the first n_shallow skips."""
+        o_shallow = self.decoder_split()[1]
+        return self._run_o_ops(params, o_shallow, h, hs_shallow, timesteps,
+                               context, self_attn_fn=self_attn_fn, emb=emb)
 
 
 # register the classic-layout and 0d (vector) variants

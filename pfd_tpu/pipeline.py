@@ -44,7 +44,7 @@ class PromptFreeDiffusionPipeline:
                  tag_ctl="canny", pretrained_root=None, seed=0,
                  with_control=True, self_attn_fn=None, config_override=None,
                  encoder_interval=1, quantized=False, tome_ratio=0.0,
-                 cfg_interval=1):
+                 cfg_interval=1, deep_interval=1):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
@@ -54,6 +54,9 @@ class PromptFreeDiffusionPipeline:
         # >1: CFG-delta reuse (diffusion/ddim.py sample_fn docstring) —
         # output-changing turbo, SSIM-gated like encoder_interval
         self.cfg_interval = cfg_interval
+        # >1: DeepCache (ddim.py deep_interval) — reuse steps run only the
+        # highest-resolution UNet level; requires cfg_interval == deep_interval
+        self.deep_interval = deep_interval
         # >0: merge that fraction of ds1 self-attention tokens (ops/tome.py)
         # — output-changing turbo, SSIM-gated like encoder_interval/int8
         self.tome_ratio = tome_ratio
@@ -215,10 +218,12 @@ class PromptFreeDiffusionPipeline:
                 # SSIM-gated, docs/PARITY.md).
                 interval = 1 if has_control else self.encoder_interval
                 cfg_iv = 1 if has_control else self.cfg_interval
+                deep_iv = 1 if has_control else self.deep_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,
-                    encoder_interval=interval, cfg_interval=cfg_iv)
+                    encoder_interval=interval, cfg_interval=cfg_iv,
+                    deep_interval=deep_iv)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)

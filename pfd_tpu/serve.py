@@ -196,6 +196,12 @@ if __name__ == "__main__":
                          "(output-changing, SSIM-gated; K>1 must equal "
                          "--turbo when both are on). Ignored on ControlNet "
                          "requests.")
+    ap.add_argument("--deep-turbo", type=int, default=1, metavar="K",
+                    help="DeepCache interval (ddim.py deep_interval): reuse "
+                         "steps run only the highest-res UNet level; "
+                         "requires --cfg-turbo K (output-changing, "
+                         "SSIM-gated). Ignored on ControlNet requests "
+                         "unless composed with --turbo K.")
     ap.add_argument("--tome", type=float, default=0.0, metavar="R",
                     help="ToMe token-merge ratio for ds1 self-attention "
                          "(0 = off; output-changing, SSIM-gated)")
@@ -208,7 +214,8 @@ if __name__ == "__main__":
                                        self_attn_fn=attn,
                                        encoder_interval=args.turbo,
                                        tome_ratio=args.tome,
-                                       cfg_interval=args.cfg_turbo)
+                                       cfg_interval=args.cfg_turbo,
+                                       deep_interval=args.deep_turbo)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

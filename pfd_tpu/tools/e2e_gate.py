@@ -24,6 +24,10 @@ Variants (select with GATE_VARIANTS=comma-list, default all):
   int8_cfg2 / bf16_cfg2 / int8_turbo2_cfg2 — CFG-delta reuse (ddim.py
                 cfg_interval=2), alone and composed with encoder
                 propagation
+  int8_cfg2_deep2 / int8_turbo2_cfg2_deep2 / int8_turbo3_cfg3_deep3 —
+                DeepCache (ddim.py deep_interval): reuse steps run only
+                the highest-res UNet level, with a fresh shallow encoder
+                (_cfg2_deep2) or fully cached skips (_turbo2_cfg2_deep2)
 
 GATE_SET=control switches to the ControlNet serving path (BASELINE config
 #3), scored against the torch-with-control cache written by
@@ -134,7 +138,7 @@ def main_control():
     hint = jnp.asarray(rng.random((1, 3, 512, 512), dtype=np.float32)
                        .transpose(0, 2, 3, 1))
 
-    def run(p, attn, interval, m=model, cfg_interval=1):
+    def run(p, attn, interval, m=model, cfg_interval=1, deep_interval=1):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -143,7 +147,8 @@ def main_control():
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0, "control": hint},
             steps=50, eta=0.0, self_attn_fn=attn,
-            encoder_interval=interval, cfg_interval=cfg_interval)
+            encoder_interval=interval, cfg_interval=cfg_interval,
+            deep_interval=deep_interval)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     variants = {
@@ -154,6 +159,11 @@ def main_control():
                                      cfg_interval=2),
         "ctl_int8_turbo2_cfg2": lambda: run(qparams, self_attn_fn, 2,
                                             cfg_interval=2),
+        # DeepCache with control rides the encoder cache (fresh shallow
+        # skips would need the full ControlNet forward — ddim.py assert)
+        "ctl_int8_turbo2_cfg2_deep2": lambda: run(qparams, self_attn_fn, 2,
+                                                  cfg_interval=2,
+                                                  deep_interval=2),
     }
     sel = os.environ.get("GATE_VARIANTS")
     names = sel.split(",") if sel else list(variants)
@@ -222,7 +232,8 @@ def main():
     print(json.dumps({"ctx_tokens_max_abs_err_vs_torch": float(cerr)}),
           flush=True)
 
-    def run(p, attn, interval, m=model, x0=None, cfg_interval=1):
+    def run(p, attn, interval, m=model, x0=None, cfg_interval=1,
+            deep_interval=1):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -231,7 +242,8 @@ def main():
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
-            encoder_interval=interval, cfg_interval=cfg_interval)
+            encoder_interval=interval, cfg_interval=cfg_interval,
+            deep_interval=deep_interval)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     from pfd_tpu.ops.tome import make_tome_attn
@@ -263,6 +275,14 @@ def main():
     variants["bf16_cfg2"] = (params, self_attn_fn, 1, model, None, 2)
     variants["int8_turbo2_cfg2"] = (qparams, self_attn_fn, 2, model, None, 2)
     variants["int8_turbo3_cfg3"] = (qparams, self_attn_fn, 3, model, None, 3)
+    # DeepCache (ddim.py deep_interval): reuse steps run only the
+    # highest-res UNet level; _cfg2_deep2 keeps the shallow encoder fresh
+    variants["int8_cfg2_deep2"] = (qparams, self_attn_fn, 1, model, None,
+                                   2, 2)
+    variants["int8_turbo2_cfg2_deep2"] = (qparams, self_attn_fn, 2, model,
+                                          None, 2, 2)
+    variants["int8_turbo3_cfg3_deep3"] = (qparams, self_attn_fn, 3, model,
+                                          None, 3, 3)
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —
@@ -281,7 +301,9 @@ def main():
         m = rest[0] if rest else model
         x0 = rest[1] if len(rest) > 1 else None
         cfg_iv = rest[2] if len(rest) > 2 else 1
-        img = run(p, attn, interval, m=m, x0=x0, cfg_interval=cfg_iv)
+        deep_iv = rest[3] if len(rest) > 3 else 1
+        img = run(p, attn, interval, m=m, x0=x0, cfg_interval=cfg_iv,
+                  deep_interval=deep_iv)
         images[name] = img
         s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
                  data_range=1.0)

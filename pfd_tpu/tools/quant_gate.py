@@ -52,7 +52,9 @@ def _dezero(params, key=0, scale=0.04):
 # compile on a typo'd name
 ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_tome5_turbo2", "int8_cfg2", "int8_turbo2_cfg2",
-             "int8_turbo3_cfg3", "int8_tome5_turbo2_cfg2")
+             "int8_turbo3_cfg3", "int8_tome5_turbo2_cfg2",
+             "int8_cfg2_deep2", "int8_turbo2_cfg2_deep2",
+             "int8_turbo3_cfg3_deep3")
 
 
 def _gate_names():
@@ -82,7 +84,8 @@ def main():
     ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
     x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
 
-    def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1):
+    def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1,
+               deep_interval=1):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -92,7 +95,8 @@ def main():
                     "unconditional_conditioning": jnp.zeros_like(c),
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
-            encoder_interval=interval, cfg_interval=cfg_interval)
+            encoder_interval=interval, cfg_interval=cfg_interval,
+            deep_interval=deep_interval)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -136,6 +140,17 @@ def main():
         # maximal composition: every gated turbo at once
         "int8_tome5_turbo2_cfg2": lambda: sample(qparams, attn=tome5,
                                                  interval=2, cfg_interval=2),
+        # DeepCache (ddim.py deep_interval): _cfg2_deep2 re-runs the shallow
+        # encoder each reuse step (DeepCache proper — the latent still enters
+        # the model); _turbo2_cfg2_deep2 reuses the cached shallow skips too
+        "int8_cfg2_deep2": lambda: sample(qparams, cfg_interval=2,
+                                          deep_interval=2),
+        "int8_turbo2_cfg2_deep2": lambda: sample(qparams, interval=2,
+                                                 cfg_interval=2,
+                                                 deep_interval=2),
+        "int8_turbo3_cfg3_deep3": lambda: sample(qparams, interval=3,
+                                                 cfg_interval=3,
+                                                 deep_interval=3),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:
