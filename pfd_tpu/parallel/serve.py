@@ -26,7 +26,8 @@ class DataParallelServer:
     separate server instances)."""
 
     def __init__(self, model, params, mesh=None, *, steps=50, eta=0.0,
-                 self_attn_fn=None, encoder_interval=1):
+                 self_attn_fn=None, encoder_interval=1, cfg_interval=1,
+                 deep_interval=1):
         self.model = model
         self.mesh = mesh or mesh_lib.make_mesh()
         self.sampler = DDIMSampler(model)
@@ -34,6 +35,10 @@ class DataParallelServer:
         self.eta = eta
         self.self_attn_fn = self_attn_fn
         self.encoder_interval = encoder_interval
+        # CFG-delta reuse / DeepCache (diffusion/ddim.py sample_fn) —
+        # output-changing turbos, SSIM-gated like encoder_interval
+        self.cfg_interval = cfg_interval
+        self.deep_interval = deep_interval
         self._data = NamedSharding(self.mesh, P("data"))
         self._repl = NamedSharding(self.mesh, P())
         self.params = jax.device_put(params, self._repl)
@@ -60,10 +65,13 @@ class DataParallelServer:
                 # same guard as pipeline.py: control requests sample exactly
                 # (cached encoder skips would hold stale control residuals)
                 interval = 1 if has_control else self.encoder_interval
+                cfg_iv = 1 if has_control else self.cfg_interval
+                deep_iv = 1 if has_control else self.deep_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, ci, tables,
                     self_attn_fn=self.self_attn_fn,
-                    encoder_interval=interval)
+                    encoder_interval=interval, cfg_interval=cfg_iv,
+                    deep_interval=deep_iv)
                 return self.model.vae_decode(params, x, "image")
 
             self._cache[key] = jax.jit(

@@ -68,3 +68,24 @@ def test_dp_serving_8way():
     # warmup precompiles buckets
     keys = server.warmup([(64, 64), (64, 128)], batch=8)
     assert (64, 128, 8, False) in keys
+
+
+def test_dp_serving_turbo_knobs():
+    """cfg_interval/deep_interval compose with DP batching: the sharded scan
+    program still compiles and the output stays batch-sharded and finite."""
+    model = registry.get("pfd")(
+        vae_cfg_list=[["image", TINY_VAE]],
+        ctx_cfg_list=[["image", TINY_SEECODER]],
+        diffuser_cfg_list=[["image", TINY_UNET]],
+        latent_scale_factor={"image": 0.18215},
+        beta_linear_start=0.00085, beta_linear_end=0.012, timesteps=1000)
+    params = ref_utils.dezero_pytree(model.init(jax.random.PRNGKey(0)))
+    mesh = mesh_lib.make_mesh(jax.devices(), tp=1)
+    server = DataParallelServer(model, params, mesh, steps=4,
+                                encoder_interval=2, cfg_interval=2,
+                                deep_interval=2)
+    refs = np.random.rand(8, 64, 64, 3).astype(np.float32)
+    out = server.generate(refs, h=64, w=64, seed=1)
+    assert out.shape == (8, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert len(out.sharding.device_set) == 8
