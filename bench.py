@@ -15,8 +15,8 @@ one JSON line each, headline LAST (the driver parses the final line):
   dp_serve    — batch-8 mixed-reference serving (8 distinct reference images,
                 per-sample contexts): the per-chip share of the 8-way DP config
 
-Env knobs: BENCH_BATCH/STEPS/SIZE/FLASH/ENCODER_INTERVAL/ITERS/CONFIGS/
-QUANT/TOME. Default serving config: int8 convs + encoder propagation
+Env knobs: BENCH_BATCH/STEPS/SIZE/FLASH/ENCODER_INTERVAL/CFG_INTERVAL/
+DEEP_INTERVAL/ITERS/CONFIGS/QUANT/TOME. Default serving config: int8 convs + encoder propagation
 interval 2, both SSIM-gated directly vs torch-fp32 (tools/e2e_gate.py:
 int8 0.99903, int8+turbo2 0.99903; gate >= 0.95). BENCH_QUANT=0 and
 BENCH_ENCODER_INTERVAL=1 restore the exact bf16 sampler.

@@ -11,11 +11,11 @@ from tests import ref_utils
 from tests.test_pipeline_hotswap import TINY_PFD
 
 
-def _pipe(tmp_path, interval):
+def _pipe(tmp_path, interval, **kw):
     pipe = PromptFreeDiffusionPipeline(
         fp16=False, config_override=TINY_PFD, pretrained_root=str(tmp_path),
         tag_ctx="SeeCoder", tag_diffuser="SD-v1.5", tag_ctl="canny",
-        encoder_interval=interval)
+        encoder_interval=interval, **kw)
     pipe.ddim_steps = 2
     pipe.params = ref_utils.dezero_pytree(pipe.params, key=3)
     return pipe
@@ -36,6 +36,31 @@ def test_control_exact_plain_turbo(tmp_path):
     np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
 
     # plain requests: interval-2 is live -> output actually changes
+    p1 = exact.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    p2 = turbo.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    assert np.isfinite(np.asarray(p2[0])).all()
+    assert np.abs(np.asarray(p1[0]) - np.asarray(p2[0])).max() > 1e-6
+
+
+def test_control_exact_under_cfg_and_deep_turbo(tmp_path):
+    """The guard covers every output-changing interval: cfg_interval and
+    deep_interval must also fall back to exact sampling on control requests
+    (pipeline.py sets all three to 1 when a control hint is present)."""
+    rng = np.random.default_rng(0)
+    ref = rng.random((64, 64, 3), dtype=np.float32)
+    ctl = np.zeros((64, 64, 3), np.float32)
+    ctl[16:48, 16:48] = 1.0
+
+    exact = _pipe(tmp_path, interval=1)
+    turbo = _pipe(tmp_path, interval=2, cfg_interval=2, deep_interval=2)
+    turbo.ddim_steps = 4  # an even step count so k=2 groups are exercised
+    exact.ddim_steps = 4
+    turbo.params = exact.params
+
+    a1 = exact.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    a2 = turbo.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
     p1 = exact.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
     p2 = turbo.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
     assert np.isfinite(np.asarray(p2[0])).all()
