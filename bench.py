@@ -104,7 +104,8 @@ def build(with_control=False):
 
 
 def make_e2e(model, sampler, tables, *, batch, with_control=False,
-             mixed_refs=False, enc_interval=None):
+             mixed_refs=False, enc_interval=None, ctl_cfg_interval=1,
+             ctl_deep_interval=1):
     """One jitted program: SeeCoder encode -> CFG DDIM scan -> VAE decode."""
     attn = _attn()
     interval = ENC_INTERVAL if enc_interval is None else enc_interval
@@ -124,10 +125,10 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
         x, _ = sampler.sample_fn(params, rng, x, c_info, tables,
                                  self_attn_fn=attn,
                                  encoder_interval=interval,
-                                 cfg_interval=1 if with_control
-                                 else CFG_INTERVAL,
-                                 deep_interval=1 if with_control
-                                 else DEEP_INTERVAL)
+                                 cfg_interval=ctl_cfg_interval
+                                 if with_control else CFG_INTERVAL,
+                                 deep_interval=ctl_deep_interval
+                                 if with_control else DEEP_INTERVAL)
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -220,12 +221,22 @@ def bench_controlnet(shared):
     img = rng.random((SIZE, SIZE, 3), dtype=np.float32)
     hint = annotators.preprocess(img, method="canny", size=(SIZE, SIZE))
     hint = jnp.tile(jnp.asarray(hint)[None], (BATCH, 1, 1, 1))
+    # control-path turbo intervals (BENCH_CTL_*): exact (1) by default —
+    # ControlNet turbos need their own GATE_SET=control SSIM rows
+    ctl_enc = _env_int("BENCH_CTL_ENCODER_INTERVAL",
+                       ENC_INTERVAL if _ENC_ENV else 1)
+    ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 1)
+    ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 1)
     fn = make_e2e(model, sampler, shared["tables"], batch=BATCH,
-                  with_control=True,
-                  enc_interval=ENC_INTERVAL if _ENC_ENV else 1)
+                  with_control=True, enc_interval=ctl_enc,
+                  ctl_cfg_interval=ctl_cfg, ctl_deep_interval=ctl_deep)
     ref = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
     ips, _ = throughput(fn, params, (ref, hint))
-    emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}_controlnet",
+    suffix = ((f"_turbo{ctl_enc}" if ctl_enc > 1 else "")
+              + (f"_cfg{ctl_cfg}" if ctl_cfg > 1 else "")
+              + (f"_deep{ctl_deep}" if ctl_deep > 1 else ""))
+    emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
+                    f"_controlnet{suffix}",
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})
 
