@@ -16,10 +16,15 @@ one JSON line each, headline LAST (the driver parses the final line):
                 per-sample contexts): the per-chip share of the 8-way DP config
 
 Env knobs: BENCH_BATCH/STEPS/SIZE/FLASH/ENCODER_INTERVAL/CFG_INTERVAL/
-DEEP_INTERVAL/ITERS/CONFIGS/QUANT/TOME. Default serving config: int8 convs + encoder propagation
-interval 2, both SSIM-gated directly vs torch-fp32 (tools/e2e_gate.py:
-int8 0.99903, int8+turbo2 0.99903; gate >= 0.95). BENCH_QUANT=0 and
-BENCH_ENCODER_INTERVAL=1 restore the exact bf16 sampler.
+DEEP_INTERVAL/ITERS/CONFIGS/QUANT/TOME. Default serving config (round 4):
+batch 8, int8 convs + encoder propagation k=3 + CFG-delta reuse k=3 +
+DeepCache k=3 — SSIM-gated DIRECTLY vs torch-fp32 at the 512^2/DDIM-50
+operating point (tools/e2e_gate.py int8_turbo3_cfg3_deep3 = 0.99898,
+gate >= 0.95) AND under the sensitive fan-in proxy vs the exact bf16
+sampler (0.98177, tools/quant_gate.py). The quality-conservative config
+is one knob away: BENCH_{ENCODER,CFG,DEEP}_INTERVAL=2 (1.93 img/s,
+proxy 0.99070); BENCH_QUANT=0 + intervals=1 restore the exact bf16
+sampler.
 """
 
 from __future__ import annotations
@@ -36,11 +41,13 @@ def _env_int(name, default):
     return int(os.environ.get(name, str(default)))
 
 
-# batch 4 + int8 are the measured best honest serving config (batch sweep
-# 2026-08-17: b2 0.66, b4 1.22, b6 0.96, b8 1.16, b16 1.12 img/s int8; the
-# int8 mode is SSIM-gated at the 512^2/DDIM-50 operating point — 0.99672
-# vs bf16, tools/quant_gate.py). BENCH_QUANT=0 restores pure bf16.
-BATCH = _env_int("BENCH_BATCH", 4)
+# batch 8 is the measured optimum under CFG-delta reuse (round-4 sweep:
+# b4 1.50, b8 1.78 turbo2+cfg2; b8 1.93 deep2, 2.37 deep3): reuse steps
+# run the conditional half alone (model batch n, not 2n), so b8's reuse
+# steps execute at model batch 8 where convs are efficient while b4's
+# collapse (the known int8 small-batch cliff: b2 0.66, b4 1.22, b6 0.96,
+# b8 1.16 exact-sampler sweep 2026-08-17). BENCH_QUANT=0 restores bf16.
+BATCH = _env_int("BENCH_BATCH", 8)
 STEPS = _env_int("BENCH_STEPS", 50)
 SIZE = _env_int("BENCH_SIZE", 512)
 ITERS = _env_int("BENCH_ITERS", 3)
@@ -53,16 +60,18 @@ USE_FLASH = os.environ.get("BENCH_FLASH", "1") == "1"
 # sampler. ControlNet keeps interval 1 unless explicitly overridden (cached
 # encoder skips would hold stale control residuals — ungated).
 _ENC_ENV = "BENCH_ENCODER_INTERVAL" in os.environ
-ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 2)
+ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 3)
 # CFG-delta reuse (diffusion/ddim.py sample_fn): the uncond half runs every
 # k-th step only; in between the conditional half alone is evaluated and the
-# guidance delta is extrapolated. Off by default until its own e2e_gate
-# SSIM row passes at the operating point.
-CFG_INTERVAL = _env_int("BENCH_CFG_INTERVAL", 1)
+# guidance delta is extrapolated. Default ON at k=3 (round 4): gated
+# directly vs torch-fp32 (e2e_gate int8_turbo3_cfg3_deep3 = 0.99898) and
+# under the sensitive fan-in proxy (quant_gate turbo3_cfg3 0.98252).
+CFG_INTERVAL = _env_int("BENCH_CFG_INTERVAL", 3)
 # DeepCache (ddim.py deep_interval): reuse steps run only the highest-res
-# UNet level. Requires BENCH_CFG_INTERVAL == BENCH_DEEP_INTERVAL. Off until
-# its own e2e_gate SSIM row passes at the operating point.
-DEEP_INTERVAL = _env_int("BENCH_DEEP_INTERVAL", 1)
+# UNet level. Requires BENCH_CFG_INTERVAL == BENCH_DEEP_INTERVAL. Default
+# ON at k=3 (round 4): SSIM-free on top of cfg3 under the fan-in proxy
+# (0.98252 -> 0.98177, quant_gate) and 0.99898 direct vs torch-fp32.
+DEEP_INTERVAL = _env_int("BENCH_DEEP_INTERVAL", 3)
 
 
 TOME = float(os.environ.get("BENCH_TOME", "0"))
@@ -283,6 +292,7 @@ def bench_dp_serve(shared):
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ref_batch{dp_batch}"
                     + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
                     + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else "")
+                    + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
                     + (f"_tome{TOME:g}" if TOME > 0 else ""),
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})

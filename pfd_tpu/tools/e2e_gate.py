@@ -283,6 +283,8 @@ def main():
                                           None, 2, 2)
     variants["int8_turbo3_cfg3_deep3"] = (qparams, self_attn_fn, 3, model,
                                           None, 3, 3)
+    variants["int8_turbo4_cfg4_deep4"] = (qparams, self_attn_fn, 4, model,
+                                          None, 4, 4)
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —

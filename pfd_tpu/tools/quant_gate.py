@@ -54,7 +54,7 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_tome5_turbo2", "int8_cfg2", "int8_turbo2_cfg2",
              "int8_turbo3_cfg3", "int8_tome5_turbo2_cfg2",
              "int8_cfg2_deep2", "int8_turbo2_cfg2_deep2",
-             "int8_turbo3_cfg3_deep3")
+             "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4")
 
 
 def _gate_names():
@@ -151,6 +151,11 @@ def main():
         "int8_turbo3_cfg3_deep3": lambda: sample(qparams, interval=3,
                                                  cfg_interval=3,
                                                  deep_interval=3),
+        # k=4 probe (50 % 4 = 2: trailing partial group) — candidate only
+        # if this row holds the >= 0.95 gate with margin
+        "int8_turbo4_cfg4_deep4": lambda: sample(qparams, interval=4,
+                                                 cfg_interval=4,
+                                                 deep_interval=4),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:

@@ -34,9 +34,10 @@ def _ci(c, scale):
             "unconditional_guidance_scale": scale}
 
 
-@pytest.mark.parametrize("k", [2, 3])
+@pytest.mark.parametrize("k", [2, 3, 4, 5])
 def test_cfg_reuse_scale1_exact(k):
-    # k=3 with 8 steps also exercises the 8 % 3 == 2 unrolled lead-in.
+    # k=3/k=5 with 8 steps also exercise the trailing partial group
+    # (8 % 3 == 2, 8 % 5 == 3); k=4 divides evenly.
     params, sampler, tables, c, x0 = _setup()
     ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
                                _ci(c, 1.0), tables)
@@ -46,7 +47,7 @@ def test_cfg_reuse_scale1_exact(k):
                                rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("k", [2, 3])
+@pytest.mark.parametrize("k", [2, 3, 4, 5])
 def test_cfg_reuse_scale1_exact_with_encoder_cache(k):
     """Composed with encoder propagation at the same interval, scale 1 must
     match encoder propagation ALONE (the delta term vanishes; reuse steps

@@ -79,10 +79,12 @@ def test_deepcache_requires_matching_cfg_interval():
                           tables, deep_interval=2)
 
 
-def test_deepcache_trailing_partial_group():
-    # 8 steps / k=3 exercises the unrolled trailing group with deep caches
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_deepcache_trailing_partial_group(k):
+    # 8 steps / k=3,5 exercise the unrolled trailing group with deep
+    # caches (8 % 3 == 2, 8 % 5 == 3); k=4 divides evenly.
     params, sampler, tables, c, x0 = _setup()
     out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
-                               _ci(c, 2.0), tables, encoder_interval=3,
-                               cfg_interval=3, deep_interval=3)
+                               _ci(c, 2.0), tables, encoder_interval=k,
+                               cfg_interval=k, deep_interval=k)
     assert np.isfinite(np.asarray(out)).all()
