@@ -523,10 +523,23 @@ def cross_attn_fn(q, k, v, *, min_seq=1024, max_kv=512):
 
 def self_attn_fn(q, k, v, *, min_seq=1024):
     """Drop-in for ops.nn.dot_product_attention on self-attention: flash for
-    long sequences, plain XLA attention for short ones."""
+    long sequences, plain XLA attention for short ones.
+
+    Block/pad defaults follow the round-4 pad_d sweep at the serving shapes
+    (tools/attn_lab.py pad_sweep, TPU 2026-08-19): at d<=64 (the UNet's
+    lane-padded d=40 heads) skipping the HBM lane-pad materialization wins —
+    B=8 s=4096: 3.626 ms (1024,1024,nopad) vs 3.976 (1024,2048,padd);
+    B=16: 7.788 ms (1024,2048,nopad) vs 8.301 padd — while at d=80
+    (s=1024) pad_d=True is 2x faster (0.201 vs 0.393), so wide heads keep
+    the padded fused-l path. Lossless either way (both paths are exact,
+    tests/test_flash_attention.py)."""
     from pfd_tpu.ops import nn
 
     if q.shape[2] >= min_seq and q.shape[2] == k.shape[2]:
+        if q.shape[3] <= 64:
+            bk = 2048 if q.shape[0] >= 16 else 1024
+            return flash_attention(q, k, v, block_q=1024, block_k=bk,
+                                   pad_d=False)
         return flash_attention(q, k, v)
     return nn.dot_product_attention(q, k, v)
 

@@ -164,6 +164,9 @@ def main_control():
         "ctl_int8_turbo2_cfg2_deep2": lambda: run(qparams, self_attn_fn, 2,
                                                   cfg_interval=2,
                                                   deep_interval=2),
+        "ctl_int8_turbo3_cfg3_deep3": lambda: run(qparams, self_attn_fn, 3,
+                                                  cfg_interval=3,
+                                                  deep_interval=3),
     }
     sel = os.environ.get("GATE_VARIANTS")
     names = sel.split(",") if sel else list(variants)
