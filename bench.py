@@ -254,18 +254,48 @@ def bench_preprocess(shared):
     from pfd_tpu import annotators
     import numpy as np
 
+    def random_init(method):
+        """Shape-correct random params when the pretrained checkpoint is
+        absent (nets/_specs.py) — FLOP-identical to the real weights, so
+        the timing is honest; the row is labeled `_random_init`."""
+        key = jax.random.PRNGKey(0)
+        if method == "hed":
+            from pfd_tpu.annotators.nets import hed
+            return hed.init_params(key)
+        if method == "scribble":
+            from pfd_tpu.annotators.nets import pidinet
+            return pidinet.init_params(key)
+        if method == "mlsd":
+            from pfd_tpu.annotators.nets import mlsd
+            return mlsd.init_params(key)
+        if method == "depth":
+            from pfd_tpu.annotators.nets import midas
+            return midas.init_params(key)
+        if method == "openpose":
+            from pfd_tpu.annotators.nets import openpose
+            return openpose.init_detector_params(key)
+        return None
+
     rng = np.random.default_rng(0)
     img = rng.random((SIZE, SIZE, 3), dtype=np.float32)
     per_method = {}
     for method in ["canny", "hed", "scribble", "mlsd", "depth", "openpose"]:
+        name, params = method, None
         try:
-            annotators.preprocess(img, method=method, size=(SIZE, SIZE))  # warm
+            try:
+                annotators.preprocess(img, method=method, size=(SIZE, SIZE))
+            except FileNotFoundError:
+                params = random_init(method)
+                name = f"{method}_random_init"
+                annotators.preprocess(img, method=method, size=(SIZE, SIZE),
+                                      params=params)  # warm
             t0 = time.perf_counter()
             for _ in range(3):
-                annotators.preprocess(img, method=method, size=(SIZE, SIZE))
-            per_method[method] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
-        except Exception as e:  # annotator weights absent etc.
-            per_method[method] = f"error: {type(e).__name__}"
+                annotators.preprocess(img, method=method, size=(SIZE, SIZE),
+                                      params=params)
+            per_method[name] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+        except Exception as e:  # noqa: BLE001
+            per_method[name] = f"error: {type(e).__name__}"
     emit({"metric": "preprocess_stack_ms_per_image", "value": per_method,
           "unit": "ms", "vs_baseline": None})
 

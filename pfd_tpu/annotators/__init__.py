@@ -62,7 +62,13 @@ def apply_scribble_xdog(img: np.ndarray, threshold=32) -> np.ndarray:
 
 def preprocess(x: np.ndarray, method: str = "canny", size=None, params=None,
                **kwargs) -> np.ndarray | None:
-    """Dispatch mirroring reference controlnet.py:332-503. x: (H,W,3) [0,1]."""
+    """Dispatch mirroring reference controlnet.py:332-503. x: (H,W,3) [0,1].
+
+    ``params``, when given, is forwarded to the selected annotator network
+    (the ``apply_*`` param pytree; OpenposeDetector kwargs for openpose) —
+    it bypasses the lazy checkpoint load, so shape-correct random-init
+    params run the nets without pretrained weights on disk.
+    """
     if size is not None and x.shape[:2] != tuple(size):
         x = resize_image(x, tuple(size), method="bicubic")
     x = np.clip(np.asarray(x, np.float32), 0, 1)
@@ -80,21 +86,22 @@ def preprocess(x: np.ndarray, method: str = "canny", size=None, params=None,
 
     if method in ("hed", "softedge_v11p"):
         from pfd_tpu.annotators.nets import hed
-        return _to_rgb3(hed.apply_hed(x))
+        return _to_rgb3(hed.apply_hed(x, params=params))
 
     if method == "depth":
         from pfd_tpu.annotators.nets import midas
-        depth, _ = midas.apply_midas(x)
+        depth, _ = midas.apply_midas(x, params=params)
         return _to_rgb3(depth)
 
     if method == "normal":
         from pfd_tpu.annotators.nets import midas
-        _, normal = midas.apply_midas(x, bg_th=kwargs.pop("bg_th", 0.4))
+        _, normal = midas.apply_midas(x, params=params,
+                                       bg_th=kwargs.pop("bg_th", 0.4))
         return np.asarray(normal, np.float32)
 
     if method in ("mlsd", "mlsd_v11p"):
         from pfd_tpu.annotators.nets import mlsd
-        y = mlsd.apply_mlsd(x, thr_v=kwargs.pop("thr_v", 0.1),
+        y = mlsd.apply_mlsd(x, params=params, thr_v=kwargs.pop("thr_v", 0.1),
                             thr_d=kwargs.pop("thr_d", 0.1))
         return _to_rgb3(y)
 
@@ -104,17 +111,18 @@ def preprocess(x: np.ndarray, method: str = "canny", size=None, params=None,
         include_hand = "withfacehand" in method
         y = openpose.apply_openpose(x, include_body=True,
                                     include_face=include_face,
-                                    include_hand=include_hand)
+                                    include_hand=include_hand,
+                                    params=params)
         return np.asarray(y, np.float32)
 
     if method == "scribble":
         sub = kwargs.pop("method", "pidinet")
         if sub == "pidinet":
             from pfd_tpu.annotators.nets import pidinet
-            y = pidinet.apply_pidinet(x)
+            y = pidinet.apply_pidinet(x, params=params)
         elif sub == "hed":
             from pfd_tpu.annotators.nets import hed
-            y = hed.apply_hed(x)
+            y = hed.apply_hed(x, params=params)
         elif sub == "xdog":
             return _to_rgb3(apply_scribble_xdog(x, kwargs.pop("threshold", 32)))
         else:

@@ -25,3 +25,26 @@ def load_torch_params(path, converter):
             f"annotator weights not found at {path}; set PFD_PRETRAINED_ROOT "
             "or pass params explicitly")
     return converter(load_sd_file(path))
+
+
+def init_from_spec(key, spec, dtype=np.float32, scale=0.05):
+    """Random-init a net's param pytree from its ``_specs`` shape string.
+
+    Entries are ``path:d0xd1x...`` joined by ``|`` (see _specs.py). Values
+    are N(0, scale²) — shape-correct stand-ins for smoke tests and FLOP-
+    representative timing when the pretrained checkpoint is absent
+    (production always loads real weights)."""
+    import jax
+
+    entries = [e.split(":") for e in spec.split("|")]
+    keys = jax.random.split(key, len(entries))
+    tree: dict = {}
+    for (path, dims), k in zip(entries, keys):
+        shape = tuple(int(d) for d in dims.split("x")) if dims else ()
+        node = tree
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(
+            jax.random.normal(k, shape) * scale, dtype)
+    return tree

@@ -208,3 +208,11 @@ def apply_mlsd(image01: np.ndarray, params=None, thr_v=0.1, thr_d=0.1) -> np.nda
         for x0, y0, x1, y1 in lines:
             draw_line(canvas, x0, y0, x1, y1)
     return canvas
+
+
+def init_params(key, dtype=None):
+    """Shape-correct random params (no checkpoint needed) — see
+    nets.init_from_spec / _specs.py."""
+    import numpy as np
+    from pfd_tpu.annotators.nets import _specs, init_from_spec
+    return init_from_spec(key, _specs.MLSD, np.float32 if dtype is None else dtype)

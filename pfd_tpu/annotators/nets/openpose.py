@@ -664,3 +664,15 @@ def apply_openpose(image01, include_body=True, include_hand=False,
     canvas = draw_poses(poses, h, w, draw_body=include_body,
                         draw_hand=include_hand, draw_face=include_face)
     return canvas.astype(np.float32) / 255.0
+
+
+def init_detector_params(key):
+    """Shape-correct random body/hand/face params for OpenposeDetector
+    (no checkpoints needed) — see nets.init_from_spec / _specs.py."""
+    import jax
+    import numpy as np
+    from pfd_tpu.annotators.nets import _specs, init_from_spec
+    kb, kh, kf = jax.random.split(key, 3)
+    return {"params_body": init_from_spec(kb, _specs.OPENPOSE_BODY, np.float32),
+            "params_hand": init_from_spec(kh, _specs.OPENPOSE_HAND, np.float32),
+            "params_face": init_from_spec(kf, _specs.OPENPOSE_FACE, np.float32)}

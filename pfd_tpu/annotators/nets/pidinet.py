@@ -147,3 +147,11 @@ def apply_pidinet(image01: np.ndarray, params=None, is_safe=False,
     if is_safe:
         edge = (edge * 3).astype(np.int32).astype(np.float32) / 2
     return (edge * 255.0).clip(0, 255).astype(np.uint8)
+
+
+def init_params(key, dtype=None):
+    """Shape-correct random params (no checkpoint needed) — see
+    nets.init_from_spec / _specs.py."""
+    import numpy as np
+    from pfd_tpu.annotators.nets import _specs, init_from_spec
+    return init_from_spec(key, _specs.PIDINET, np.float32 if dtype is None else dtype)
