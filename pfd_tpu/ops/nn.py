@@ -281,7 +281,14 @@ def upsample_conv2d(x, p):
     interleaves them. 16 vs 36 C^2 HW MACs (2.25x fewer FLOPs) and the 4x
     upsampled intermediate is never materialized. Used by the UNet Upsample
     blocks (inside the 50-step scan; the kernel derivation is
-    loop-invariant, hoisted by XLA) and the VAE decoder levels."""
+    loop-invariant, hoisted by XLA) and the VAE decoder levels.
+
+    ``PFD_NO_FUSED_UPCONV=1`` falls back to the naive
+    upsample-then-conv chain (e2e A/B handle: the per-op TPU attribution
+    is unmeasurable on this backend, docs/PARITY.md)."""
+    import os
+    if os.environ.get("PFD_NO_FUSED_UPCONV"):
+        return conv2d(nearest_upsample_2x(x), p, padding=1)
     n, h, w, c = x.shape
     if "kernel_q" in p:
         from pfd_tpu.ops import quant
