@@ -27,7 +27,7 @@ class DataParallelServer:
 
     def __init__(self, model, params, mesh=None, *, steps=50, eta=0.0,
                  self_attn_fn=None, encoder_interval=1, cfg_interval=1,
-                 deep_interval=1):
+                 deep_interval=1, control_turbo=False):
         self.model = model
         self.mesh = mesh or mesh_lib.make_mesh()
         self.sampler = DDIMSampler(model)
@@ -39,6 +39,10 @@ class DataParallelServer:
         # output-changing turbos, SSIM-gated like encoder_interval
         self.cfg_interval = cfg_interval
         self.deep_interval = deep_interval
+        # control requests sample exactly unless explicitly opted in
+        # (GATE_SET=control SSIM rows, docs/PARITY.md) — same policy as
+        # pipeline.py control_turbo
+        self.control_turbo = control_turbo
         self._data = NamedSharding(self.mesh, P("data"))
         self._repl = NamedSharding(self.mesh, P())
         self.params = jax.device_put(params, self._repl)
@@ -64,9 +68,11 @@ class DataParallelServer:
                     ci["control"] = hints
                 # same guard as pipeline.py: control requests sample exactly
                 # (cached encoder skips would hold stale control residuals)
-                interval = 1 if has_control else self.encoder_interval
-                cfg_iv = 1 if has_control else self.cfg_interval
-                deep_iv = 1 if has_control else self.deep_interval
+                # unless control_turbo opts them into the gated intervals
+                exact_ctl = has_control and not self.control_turbo
+                interval = 1 if exact_ctl else self.encoder_interval
+                cfg_iv = 1 if exact_ctl else self.cfg_interval
+                deep_iv = 1 if exact_ctl else self.deep_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, ci, tables,
                     self_attn_fn=self.self_attn_fn,

@@ -44,7 +44,7 @@ class PromptFreeDiffusionPipeline:
                  tag_ctl="canny", pretrained_root=None, seed=0,
                  with_control=True, self_attn_fn=None, config_override=None,
                  encoder_interval=1, quantized=False, tome_ratio=0.0,
-                 cfg_interval=1, deep_interval=1):
+                 cfg_interval=1, deep_interval=1, control_turbo=False):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
@@ -57,6 +57,12 @@ class PromptFreeDiffusionPipeline:
         # >1: DeepCache (ddim.py deep_interval) — reuse steps run only the
         # highest-resolution UNet level; requires cfg_interval == deep_interval
         self.deep_interval = deep_interval
+        # ControlNet requests sample exactly by default even when the plain-
+        # path turbos are on (stale control residuals on reuse steps are a
+        # separate approximation). control_turbo=True opts control requests
+        # into the same intervals — gated by their own GATE_SET=control rows
+        # (tools/e2e_gate.py, docs/PARITY.md).
+        self.control_turbo = control_turbo
         # >0: merge that fraction of ds1 self-attention tokens (ops/tome.py)
         # — output-changing turbo, SSIM-gated like encoder_interval/int8
         self.tome_ratio = tome_ratio
@@ -211,14 +217,15 @@ class PromptFreeDiffusionPipeline:
                           "unconditional_guidance_scale": scale}
                 if has_control:
                     c_info["control"] = cc
-                # ControlNet requests always sample exactly: under encoder
-                # propagation the cached encoder skips would hold stale
-                # control residuals on non-key steps — an ungated
-                # approximation (the plain-path interval>1 mode is
-                # SSIM-gated, docs/PARITY.md).
-                interval = 1 if has_control else self.encoder_interval
-                cfg_iv = 1 if has_control else self.cfg_interval
-                deep_iv = 1 if has_control else self.deep_interval
+                # ControlNet requests sample exactly unless control_turbo
+                # explicitly opts in: under encoder propagation the cached
+                # encoder skips hold stale control residuals on non-key
+                # steps — an approximation with its own GATE_SET=control
+                # SSIM rows (docs/PARITY.md).
+                exact_ctl = has_control and not self.control_turbo
+                interval = 1 if exact_ctl else self.encoder_interval
+                cfg_iv = 1 if exact_ctl else self.cfg_interval
+                deep_iv = 1 if exact_ctl else self.deep_interval
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,

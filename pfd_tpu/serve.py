@@ -205,6 +205,11 @@ if __name__ == "__main__":
     ap.add_argument("--tome", type=float, default=0.0, metavar="R",
                     help="ToMe token-merge ratio for ds1 self-attention "
                          "(0 = off; output-changing, SSIM-gated)")
+    ap.add_argument("--control-turbo", action="store_true",
+                    help="apply the --turbo/--cfg-turbo/--deep-turbo "
+                         "intervals to ControlNet requests too (default: "
+                         "control samples exactly). Gated by the "
+                         "GATE_SET=control SSIM rows, docs/PARITY.md.")
     args = ap.parse_args()
     attn = None
     if args.flash:
@@ -215,7 +220,8 @@ if __name__ == "__main__":
                                        encoder_interval=args.turbo,
                                        tome_ratio=args.tome,
                                        cfg_interval=args.cfg_turbo,
-                                       deep_interval=args.deep_turbo)
+                                       deep_interval=args.deep_turbo,
+                                       control_turbo=args.control_turbo)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

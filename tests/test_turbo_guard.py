@@ -65,3 +65,25 @@ def test_control_exact_under_cfg_and_deep_turbo(tmp_path):
     p2 = turbo.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
     assert np.isfinite(np.asarray(p2[0])).all()
     assert np.abs(np.asarray(p1[0]) - np.asarray(p2[0])).max() > 1e-6
+
+
+def test_control_turbo_opt_in(tmp_path):
+    """control_turbo=True lifts the guard: control requests then sample with
+    the configured intervals (output-changing vs exact — the opt-in is gated
+    by the GATE_SET=control SSIM rows, docs/PARITY.md)."""
+    rng = np.random.default_rng(0)
+    ref = rng.random((64, 64, 3), dtype=np.float32)
+    ctl = np.zeros((64, 64, 3), np.float32)
+    ctl[16:48, 16:48] = 1.0
+
+    exact = _pipe(tmp_path, interval=1)
+    opted = _pipe(tmp_path, interval=2, cfg_interval=2, deep_interval=2,
+                  control_turbo=True)
+    exact.ddim_steps = 4
+    opted.ddim_steps = 4
+    opted.params = exact.params
+
+    a1 = exact.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    a2 = opted.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    assert np.isfinite(np.asarray(a2[0])).all()
+    assert np.abs(np.asarray(a1[0]) - np.asarray(a2[0])).max() > 1e-6
