@@ -67,6 +67,10 @@ ENC_INTERVAL = _env_int("BENCH_ENCODER_INTERVAL", 3)
 # directly vs torch-fp32 (e2e_gate int8_turbo3_cfg3_deep3 = 0.99898) and
 # under the sensitive fan-in proxy (quant_gate turbo3_cfg3 0.98252).
 CFG_INTERVAL = _env_int("BENCH_CFG_INTERVAL", 3)
+# BENCH_CFG_EXTRAPOLATE=linear: first-order guidance-delta extrapolation on
+# reuse steps (ddim.py sample_fn) — same cost as const, gated separately
+# (metric suffix becomes _cfg{K}lin).
+CFG_EXTRAPOLATE = os.environ.get("BENCH_CFG_EXTRAPOLATE", "const")
 # DeepCache (ddim.py deep_interval): reuse steps run only the highest-res
 # UNet level. Requires BENCH_CFG_INTERVAL == BENCH_DEEP_INTERVAL. Default
 # ON at k=3 (round 4): SSIM-free on top of cfg3 under the fan-in proxy
@@ -137,7 +141,9 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
                                  cfg_interval=ctl_cfg_interval
                                  if with_control else CFG_INTERVAL,
                                  deep_interval=ctl_deep_interval
-                                 if with_control else DEEP_INTERVAL)
+                                 if with_control else DEEP_INTERVAL,
+                                 cfg_extrapolate="const" if with_control
+                                 else CFG_EXTRAPOLATE)
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -178,7 +184,7 @@ def bench_headline(shared):
         "metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
                   + ("_int8" if QUANT else "")
                   + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
-                  + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else "")
+                  + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                   + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
                   + (f"_tome{TOME:g}" if TOME > 0 else ""),
         "value": round(ips, 4),
@@ -321,7 +327,7 @@ def bench_dp_serve(shared):
     ips = dp_batch / dt
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ref_batch{dp_batch}"
                     + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
-                    + (f"_cfg{CFG_INTERVAL}" if CFG_INTERVAL > 1 else "")
+                    + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                     + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
                     + (f"_tome{TOME:g}" if TOME > 0 else ""),
           "value": round(ips, 4), "unit": "images/sec/chip",

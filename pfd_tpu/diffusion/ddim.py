@@ -34,7 +34,7 @@ class DDIMSampler:
     def sample(self, params, rng, shape, x_info, c_info, steps=50, eta=0.0,
                temperature=1.0, x_type="image", c_type="image",
                self_attn_fn=None, encoder_interval=1, cfg_interval=1,
-               deep_interval=1):
+               deep_interval=1, cfg_extrapolate="const"):
         """Eager-friendly entry; mirrors reference sample() (ddim.py:58-79).
 
         x_info: optional dict with 'xt' (start latent) or
@@ -66,7 +66,8 @@ class DDIMSampler:
                               c_type=c_type, self_attn_fn=self_attn_fn,
                               encoder_interval=encoder_interval,
                               cfg_interval=cfg_interval,
-                              deep_interval=deep_interval)
+                              deep_interval=deep_interval,
+                              cfg_extrapolate=cfg_extrapolate)
 
     def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
                             steps=50, eta=0.0, temperature=1.0,
@@ -138,7 +139,7 @@ class DDIMSampler:
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
                   temperature=1.0, noise_dropout=0.0, x_type="image",
                   c_type="image", self_attn_fn=None, encoder_interval=1,
-                  cfg_interval=1, deep_interval=1):
+                  cfg_interval=1, deep_interval=1, cfg_extrapolate="const"):
         """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
 
         encoder_interval > 1 enables encoder propagation (Faster Diffusion,
@@ -152,7 +153,13 @@ class DDIMSampler:
         and the guidance delta (e_c - e_uc) carried from the last full step
         is extrapolated as e_t = e_c + (scale-1)*delta. At scale == 1 this
         is exactly the plain sampler (the delta term vanishes), which the
-        unit test exploits. Opt-in and output-changing for scale != 1 —
+        unit test exploits. cfg_extrapolate="linear" upgrades the carried
+        delta to a first-order extrapolation — at reuse step j the delta is
+        delta + j/k * (delta - delta_prev) with delta_prev from the
+        previous group's key step (zero slope for the first group) — same
+        cost, better tracking of the guidance drift across a group (the
+        delta term still vanishes at scale 1, so exactness is preserved).
+        Opt-in and output-changing for scale != 1 —
         SSIM-gated like encoder propagation. Composes with
         encoder_interval when the two intervals are EQUAL (key steps
         coincide: the cached encoder skips are sliced to the conditional
@@ -292,7 +299,8 @@ class DDIMSampler:
                 control_embed=control_embed, x_type=x_type, c_type=c_type,
                 self_attn_fn=self_attn_fn, cfg_interval=cfg_interval,
                 use_enc_cache=encoder_interval > 1,
-                use_deep=deep_interval > 1)
+                use_deep=deep_interval > 1,
+                extrapolate=cfg_extrapolate)
 
         if encoder_interval <= 1:
             def step(carry, inp):
@@ -333,7 +341,7 @@ class DDIMSampler:
                              make_inputs, ddim_update, *, cond, scale,
                              control, control_embed, x_type, c_type,
                              self_attn_fn, cfg_interval, use_enc_cache,
-                             use_deep=False):
+                             use_deep=False, extrapolate="const"):
         """CFG-delta-reuse scan (see sample_fn docstring). The step loop is a
         scan over GROUPS of cfg_interval steps — group step 0 runs the full
         CFG-doubled model (refreshing the guidance delta, the encoder cache
@@ -414,11 +422,25 @@ class DDIMSampler:
             e_t = e_c.astype(jnp.float32) + (scale - 1.0) * delta
             return ddim_update(xt, key, row, e_t)
 
+        # "linear": first-order delta extrapolation — slope from the
+        # previous group's key-step delta, zeroed (valid=0) for the first
+        # group. Carrying (delta_prev, valid) in the scan costs one latent-
+        # sized fp32 buffer; the const path's carry stays untouched.
+        assert extrapolate in ("const", "linear"), extrapolate
+        linear = extrapolate == "linear"
+
         def group(carry, rows):
-            xt, key = carry
+            if linear:
+                xt, key, dprev, valid = carry
+            else:
+                xt, key = carry
             xt, key, px0, delta, cache, deep = full_step(xt, key, rows[0])
+            slope = (delta - dprev) * (valid / k) if linear else None
             for j in range(1, k):
-                xt, key, px0 = reuse_step(xt, key, rows[j], delta, cache, deep)
+                d_j = delta + slope * j if linear else delta
+                xt, key, px0 = reuse_step(xt, key, rows[j], d_j, cache, deep)
+            if linear:
+                return (xt, key, delta, jnp.ones((), jnp.float32)), px0
             return (xt, key), px0
 
         # The n_steps % k remainder runs as a TRAILING partial group (one
@@ -430,19 +452,28 @@ class DDIMSampler:
         r = n_steps % k
         n_grouped = n_steps - r
         x_cur, key_cur, last_px0 = x, rng, None
+        dprev = jnp.zeros(x.shape, jnp.float32) if linear else None
+        valid = jnp.zeros((), jnp.float32) if linear else None
         if n_grouped:
             rows_grouped = jnp.asarray(
                 per_step_np[:n_grouped].reshape(n_grouped // k, k, 5),
                 jnp.float32)
-            (x_cur, key_cur), px0s = jax.lax.scan(group, (x_cur, key_cur),
-                                                  rows_grouped)
+            carry0 = (x_cur, key_cur, dprev, valid) if linear \
+                else (x_cur, key_cur)
+            carry, px0s = jax.lax.scan(group, carry0, rows_grouped)
+            if linear:
+                x_cur, key_cur, dprev, valid = carry
+            else:
+                x_cur, key_cur = carry
             last_px0 = px0s[-1]
         if r:
             row = jnp.asarray(per_step_np[n_grouped], jnp.float32)
             x_cur, key_cur, last_px0, delta, cache, deep = full_step(
                 x_cur, key_cur, row)
+            slope = (delta - dprev) * (valid / k) if linear else None
             for j in range(1, r):
                 row = jnp.asarray(per_step_np[n_grouped + j], jnp.float32)
+                d_j = delta + slope * j if linear else delta
                 x_cur, key_cur, last_px0 = reuse_step(
-                    x_cur, key_cur, row, delta, cache, deep)
+                    x_cur, key_cur, row, d_j, cache, deep)
         return x_cur, {"pred_x0": last_px0}

@@ -27,7 +27,8 @@ class DataParallelServer:
 
     def __init__(self, model, params, mesh=None, *, steps=50, eta=0.0,
                  self_attn_fn=None, encoder_interval=1, cfg_interval=1,
-                 deep_interval=1, control_turbo=False):
+                 deep_interval=1, control_turbo=False,
+                 cfg_extrapolate="const"):
         self.model = model
         self.mesh = mesh or mesh_lib.make_mesh()
         self.sampler = DDIMSampler(model)
@@ -39,6 +40,8 @@ class DataParallelServer:
         # output-changing turbos, SSIM-gated like encoder_interval
         self.cfg_interval = cfg_interval
         self.deep_interval = deep_interval
+        # "linear": first-order delta extrapolation (ddim.py sample_fn)
+        self.cfg_extrapolate = cfg_extrapolate
         # control requests sample exactly unless explicitly opted in
         # (GATE_SET=control SSIM rows, docs/PARITY.md) — same policy as
         # pipeline.py control_turbo
@@ -77,7 +80,8 @@ class DataParallelServer:
                     params, rng, x, ci, tables,
                     self_attn_fn=self.self_attn_fn,
                     encoder_interval=interval, cfg_interval=cfg_iv,
-                    deep_interval=deep_iv)
+                    deep_interval=deep_iv,
+                    cfg_extrapolate=self.cfg_extrapolate)
                 return self.model.vae_decode(params, x, "image")
 
             self._cache[key] = jax.jit(

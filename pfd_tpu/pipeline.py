@@ -44,7 +44,8 @@ class PromptFreeDiffusionPipeline:
                  tag_ctl="canny", pretrained_root=None, seed=0,
                  with_control=True, self_attn_fn=None, config_override=None,
                  encoder_interval=1, quantized=False, tome_ratio=0.0,
-                 cfg_interval=1, deep_interval=1, control_turbo=False):
+                 cfg_interval=1, deep_interval=1, control_turbo=False,
+                 cfg_extrapolate="const"):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
@@ -54,6 +55,9 @@ class PromptFreeDiffusionPipeline:
         # >1: CFG-delta reuse (diffusion/ddim.py sample_fn docstring) —
         # output-changing turbo, SSIM-gated like encoder_interval
         self.cfg_interval = cfg_interval
+        # "linear": first-order guidance-delta extrapolation on reuse steps
+        # (ddim.py sample_fn docstring) — same cost, better drift tracking
+        self.cfg_extrapolate = cfg_extrapolate
         # >1: DeepCache (ddim.py deep_interval) — reuse steps run only the
         # highest-resolution UNet level; requires cfg_interval == deep_interval
         self.deep_interval = deep_interval
@@ -230,7 +234,8 @@ class PromptFreeDiffusionPipeline:
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,
                     encoder_interval=interval, cfg_interval=cfg_iv,
-                    deep_interval=deep_iv)
+                    deep_interval=deep_iv,
+                    cfg_extrapolate=self.cfg_extrapolate)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)

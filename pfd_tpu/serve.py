@@ -202,6 +202,12 @@ if __name__ == "__main__":
                          "requires --cfg-turbo K (output-changing, "
                          "SSIM-gated). Ignored on ControlNet requests "
                          "unless composed with --turbo K.")
+    ap.add_argument("--cfg-extrapolate", choices=("const", "linear"),
+                    default="const",
+                    help="guidance-delta extrapolation on --cfg-turbo reuse "
+                         "steps: const (zeroth-order, default) or linear "
+                         "(first-order, same cost, tracks guidance drift "
+                         "across a group)")
     ap.add_argument("--tome", type=float, default=0.0, metavar="R",
                     help="ToMe token-merge ratio for ds1 self-attention "
                          "(0 = off; output-changing, SSIM-gated)")
@@ -220,6 +226,7 @@ if __name__ == "__main__":
                                        encoder_interval=args.turbo,
                                        tome_ratio=args.tome,
                                        cfg_interval=args.cfg_turbo,
+                                       cfg_extrapolate=args.cfg_extrapolate,
                                        deep_interval=args.deep_turbo,
                                        control_turbo=args.control_turbo)
     if args.ui:

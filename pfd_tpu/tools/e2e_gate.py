@@ -236,7 +236,7 @@ def main():
           flush=True)
 
     def run(p, attn, interval, m=model, x0=None, cfg_interval=1,
-            deep_interval=1):
+            deep_interval=1, extrap="const"):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -246,7 +246,7 @@ def main():
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval)
+            deep_interval=deep_interval, cfg_extrapolate=extrap)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     from pfd_tpu.ops.tome import make_tome_attn
@@ -288,6 +288,12 @@ def main():
                                           None, 3, 3)
     variants["int8_turbo4_cfg4_deep4"] = (qparams, self_attn_fn, 4, model,
                                           None, 4, 4)
+    # linear (first-order) guidance-delta extrapolation
+    # (ddim.py cfg_extrapolate="linear") — same cost as const
+    variants["int8_turbo3_cfg3lin_deep3"] = (qparams, self_attn_fn, 3, model,
+                                             None, 3, 3, "linear")
+    variants["int8_turbo4_cfg4lin_deep4"] = (qparams, self_attn_fn, 4, model,
+                                             None, 4, 4, "linear")
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —
@@ -307,8 +313,9 @@ def main():
         x0 = rest[1] if len(rest) > 1 else None
         cfg_iv = rest[2] if len(rest) > 2 else 1
         deep_iv = rest[3] if len(rest) > 3 else 1
+        extrap = rest[4] if len(rest) > 4 else "const"
         img = run(p, attn, interval, m=m, x0=x0, cfg_interval=cfg_iv,
-                  deep_interval=deep_iv)
+                  deep_interval=deep_iv, extrap=extrap)
         images[name] = img
         s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
                  data_range=1.0)

@@ -12,6 +12,13 @@ The CPU slow-suite analogue is tests/test_quant_e2e.py (384^2/DDIM-25 —
 XLA:CPU runs int8 convs too slowly for the 512^2/50 point).
 
 Usage: python -m pfd_tpu.tools.quant_gate   (TPU, ~15 min first compile)
+
+GATE_SET=control switches to the ControlNet serving path (BASELINE config
+#3): pfd_with_control at the same operating point with a shared random
+canny-like hint, SSIM vs the exact bf16 control sampler. This is the
+fan-in-proxy twin of tools/e2e_gate.py GATE_SET=control (whose direct rows
+saturate at the 0.99898 int8 floor — the proxy is where control turbos
+actually separate; docs/PARITY.md round 4).
 """
 
 from __future__ import annotations
@@ -54,21 +61,29 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_tome5_turbo2", "int8_cfg2", "int8_turbo2_cfg2",
              "int8_turbo3_cfg3", "int8_tome5_turbo2_cfg2",
              "int8_cfg2_deep2", "int8_turbo2_cfg2_deep2",
-             "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4")
+             "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4",
+             "int8_cfg3lin", "int8_turbo3_cfg3lin_deep3",
+             "int8_turbo4_cfg4lin_deep4")
 
 
-def _gate_names():
+# ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
+# deep caching under control requires the encoder cache too
+CTL_ROW_NAMES = ("ctl_int8", "ctl_int8_cfg2", "ctl_int8_turbo2_cfg2",
+                 "ctl_int8_turbo2_cfg2_deep2", "ctl_int8_turbo3_cfg3_deep3")
+
+
+def _gate_names(row_names=ROW_NAMES, default=("int8",)):
     only = os.environ.get("GATE_ONLY")
     if only:
         names = [n for n in only.split(",") if n]
-        unknown = sorted(set(names) - set(ROW_NAMES))
+        unknown = sorted(set(names) - set(row_names))
         if unknown:
             raise SystemExit(f"GATE_ONLY names not in row set: {unknown}; "
-                             f"valid: {sorted(ROW_NAMES)}")
+                             f"valid: {sorted(row_names)}")
         return names
     if os.environ.get("GATE_EXTRA") == "1":
-        return list(ROW_NAMES)
-    return ["int8"]
+        return list(row_names)
+    return list(default)
 
 
 def main():
@@ -85,7 +100,7 @@ def main():
     x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
 
     def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1,
-               deep_interval=1):
+               deep_interval=1, extrap="const"):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -96,7 +111,7 @@ def main():
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval)
+            deep_interval=deep_interval, cfg_extrapolate=extrap)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -156,11 +171,97 @@ def main():
         "int8_turbo4_cfg4_deep4": lambda: sample(qparams, interval=4,
                                                  cfg_interval=4,
                                                  deep_interval=4),
+        # linear (first-order) delta extrapolation (ddim.py
+        # cfg_extrapolate="linear") — same cost as const; candidate quality
+        # upgrade for k>=3 and the enabler for a gateable k=4
+        "int8_cfg3lin": lambda: sample(qparams, cfg_interval=3,
+                                       extrap="linear"),
+        "int8_turbo3_cfg3lin_deep3": lambda: sample(qparams, interval=3,
+                                                    cfg_interval=3,
+                                                    deep_interval=3,
+                                                    extrap="linear"),
+        "int8_turbo4_cfg4lin_deep4": lambda: sample(qparams, interval=4,
+                                                    cfg_interval=4,
+                                                    deep_interval=4,
+                                                    extrap="linear"),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:
         gate(name, rows[name]())
 
 
+def main_control():
+    """ControlNet-path fan-in proxy (GATE_SET=control): SSIM of the int8
+    control turbo variants vs the exact bf16 control sampler, shared
+    random fan-in weights, shared canny hint. The direct twin
+    (tools/e2e_gate.py GATE_SET=control) saturates at the int8 floor
+    (0.99898 across all rows) — this is the discriminating regime."""
+    names = _gate_names(CTL_ROW_NAMES, default=CTL_ROW_NAMES)
+    from pfd_tpu import annotators
+
+    cfg = config.model_cfg("pfd_seecoder_with_controlnet")["args"]
+    cfg["vae_cfg_list"][0][1]["args"].setdefault("lossconfig", None)
+    cfg["ctx_cfg_list"][0][1]["args"]["imencoder_cfg"]["args"][
+        "drop_path_rate"] = 0.0
+    model = registry.get("pfd_with_control")(**cfg, policy=BF16)
+    params = _dezero(model.init(jax.random.PRNGKey(1)))
+
+    rng = np.random.default_rng(5)
+    ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
+    x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
+    hint_src = rng.random((512, 512, 3), dtype=np.float32)
+    hint = jnp.asarray(annotators.preprocess(hint_src, method="canny",
+                                             size=(512, 512)))[None]
+
+    def sample(p, interval=1, cfg_interval=1, deep_interval=1):
+        c = model.ctx_encode(p, ref_img, "image")
+        sampler = DDIMSampler(model)
+        x, _ = sampler.sample(
+            p, jax.random.PRNGKey(0), x_start.shape,
+            x_info={"xt": x_start},
+            c_info={"conditioning": c,
+                    "unconditional_conditioning": jnp.zeros_like(c),
+                    "unconditional_guidance_scale": 2.0,
+                    "control": hint},
+            steps=50, eta=0.0, self_attn_fn=self_attn_fn,
+            encoder_interval=interval, cfg_interval=cfg_interval,
+            deep_interval=deep_interval)
+        return np.asarray(model.vae_decode(p, x, "image"))
+
+    img_fp = sample(params)
+    print("ctl fp done", flush=True)
+    qparams = dict(params)
+    for k in ("diffuser", "vae", "ctl"):
+        if k in qparams:
+            qparams[k] = quant.quantize_params(params[k])
+
+    def gate(name, img):
+        s = ssim(np.clip(img[0], 0, 1), np.clip(img_fp[0], 0, 1),
+                 data_range=1.0)
+        print(json.dumps({
+            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(float(s), 5),
+            "finite": bool(np.isfinite(img).all()),
+        }), flush=True)
+
+    rows = {
+        "ctl_int8": lambda: sample(qparams),
+        "ctl_int8_cfg2": lambda: sample(qparams, cfg_interval=2),
+        "ctl_int8_turbo2_cfg2": lambda: sample(qparams, interval=2,
+                                               cfg_interval=2),
+        "ctl_int8_turbo2_cfg2_deep2": lambda: sample(qparams, interval=2,
+                                                     cfg_interval=2,
+                                                     deep_interval=2),
+        "ctl_int8_turbo3_cfg3_deep3": lambda: sample(qparams, interval=3,
+                                                     cfg_interval=3,
+                                                     deep_interval=3),
+    }
+    assert set(rows) == set(CTL_ROW_NAMES), "CTL_ROW_NAMES drifted"
+    for name in names:
+        gate(name, rows[name]())
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GATE_SET") == "control":
+        main_control()
+    else:
+        main()

@@ -106,3 +106,47 @@ def test_cfg_reuse_no_cfg_falls_through():
     out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0, ci, tables,
                                cfg_interval=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_cfg_reuse_linear_extrapolation_scale1_exact(k):
+    """cfg_extrapolate='linear' keeps the scale-1 exactness (the whole delta
+    term — constant or extrapolated — is multiplied by scale-1 == 0). k=5
+    exercises the trailing partial group with a live slope carry."""
+    params, sampler, tables, c, x0 = _setup()
+    ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 1.0), tables)
+    out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 1.0), tables, cfg_interval=k,
+                               cfg_extrapolate="linear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_cfg_reuse_linear_differs_from_const_when_guided():
+    """At scale 2 the first-order extrapolation actually changes reuse
+    steps (slope term live from the second group on) but stays finite and
+    distributionally sane."""
+    params, sampler, tables, c, x0 = _setup()
+    con, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, cfg_interval=2)
+    lin, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, cfg_interval=2,
+                               cfg_extrapolate="linear")
+    a, b = np.asarray(lin), np.asarray(con)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, b)
+    assert abs(a.std() - b.std()) < 1.0
+
+
+def test_cfg_reuse_linear_first_group_matches_const():
+    """With a single group (n_steps == k) there is no previous delta, so the
+    slope is zero and linear ≡ const — the valid-flag init in the carry."""
+    params, sampler, tables, c, x0 = _setup(steps=2)
+    con, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, cfg_interval=2)
+    lin, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, cfg_interval=2,
+                               cfg_extrapolate="linear")
+    np.testing.assert_allclose(np.asarray(lin), np.asarray(con),
+                               rtol=1e-6, atol=1e-7)
