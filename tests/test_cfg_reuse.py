@@ -150,3 +150,37 @@ def test_cfg_reuse_linear_first_group_matches_const():
                                cfg_extrapolate="linear")
     np.testing.assert_allclose(np.asarray(lin), np.asarray(con),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_cfg_reuse_linear_scale1_exact_full_composition(k):
+    """linear extrapolation composed with encoder propagation AND DeepCache
+    at the same interval, scale 1: must equal encoder propagation alone
+    composed with DeepCache (the delta term still vanishes). k=5 with 8
+    steps exercises the trailing partial group inside the composition."""
+    params, sampler, tables, c, x0 = _setup()
+    ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 1.0), tables, encoder_interval=k,
+                               cfg_interval=k, deep_interval=k)
+    out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 1.0), tables, encoder_interval=k,
+                               cfg_interval=k, deep_interval=k,
+                               cfg_extrapolate="linear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_cfg_reuse_linear_guided_composition_finite():
+    """Guided (scale 2) linear + turbo + deep composition stays finite and
+    differs from the const composition (the slope term is live)."""
+    params, sampler, tables, c, x0 = _setup()
+    con, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, encoder_interval=2,
+                               cfg_interval=2, deep_interval=2)
+    lin, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, encoder_interval=2,
+                               cfg_interval=2, deep_interval=2,
+                               cfg_extrapolate="linear")
+    a, b = np.asarray(lin), np.asarray(con)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, b)
