@@ -294,6 +294,10 @@ def main():
                                              None, 3, 3, "linear")
     variants["int8_turbo4_cfg4lin_deep4"] = (qparams, self_attn_fn, 4, model,
                                              None, 4, 4, "linear")
+    variants["int8_turbo5_cfg5_deep5"] = (qparams, self_attn_fn, 5, model,
+                                          None, 5, 5)
+    variants["int8_turbo5_cfg5lin_deep5"] = (qparams, self_attn_fn, 5, model,
+                                             None, 5, 5, "linear")
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —

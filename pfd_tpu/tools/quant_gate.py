@@ -63,7 +63,8 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_cfg2_deep2", "int8_turbo2_cfg2_deep2",
              "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4",
              "int8_cfg3lin", "int8_turbo3_cfg3lin_deep3",
-             "int8_turbo4_cfg4lin_deep4")
+             "int8_turbo4_cfg4lin_deep4", "int8_turbo5_cfg5_deep5",
+             "int8_turbo5_cfg5lin_deep5")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
@@ -183,6 +184,16 @@ def main():
         "int8_turbo4_cfg4lin_deep4": lambda: sample(qparams, interval=4,
                                                     cfg_interval=4,
                                                     deep_interval=4,
+                                                    extrap="linear"),
+        # k=5 probe (50 = 10 even groups): proxy trend is ~-0.012/k
+        # (0.99093/0.98177/0.9698 at k=2/3/4) so const-k5 sits near the
+        # 0.95 gate; the lin row is the realistic candidate
+        "int8_turbo5_cfg5_deep5": lambda: sample(qparams, interval=5,
+                                                 cfg_interval=5,
+                                                 deep_interval=5),
+        "int8_turbo5_cfg5lin_deep5": lambda: sample(qparams, interval=5,
+                                                    cfg_interval=5,
+                                                    deep_interval=5,
                                                     extrap="linear"),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
