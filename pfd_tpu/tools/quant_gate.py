@@ -64,7 +64,7 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4",
              "int8_cfg3lin", "int8_turbo3_cfg3lin_deep3",
              "int8_turbo4_cfg4lin_deep4", "int8_turbo5_cfg5_deep5",
-             "int8_turbo5_cfg5lin_deep5")
+             "int8_turbo5_cfg5lin_deep5", "bf16_turbo3_cfg3_deep3")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
@@ -195,6 +195,12 @@ def main():
                                                     cfg_interval=5,
                                                     deep_interval=5,
                                                     extrap="linear"),
+        # bf16 turbo composition (no int8): isolates the turbo error from
+        # the quant error — gates the latency-oriented b1 bf16 serving mode
+        # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)
+        "bf16_turbo3_cfg3_deep3": lambda: sample(params, interval=3,
+                                                 cfg_interval=3,
+                                                 deep_interval=3),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:
