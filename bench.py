@@ -77,6 +77,23 @@ CFG_EXTRAPOLATE = os.environ.get("BENCH_CFG_EXTRAPOLATE", "const")
 # (0.98252 -> 0.98177, quant_gate) and 0.99898 direct vs torch-fp32.
 DEEP_INTERVAL = _env_int("BENCH_DEEP_INTERVAL", 3)
 
+# BENCH_PHASES="10x2,40x5": phased turbo schedule (ddim.py sample_fn
+# phases=...) — the first 10 steps at maximal-turbo interval 2, the last 40
+# at interval 5 (kx1 phases run the exact sampler). Overrides the uniform
+# interval knobs (they are forced to 1); metric suffix _ph10x2-40x5.
+
+
+def _parse_phases(spec):
+    if not spec:
+        return None
+    return [(int(n), int(k)) for n, k in
+            (part.split("x") for part in spec.split(","))]
+
+
+PHASES = _parse_phases(os.environ.get("BENCH_PHASES"))
+if PHASES is not None:
+    ENC_INTERVAL = CFG_INTERVAL = DEEP_INTERVAL = 1
+
 
 TOME = float(os.environ.get("BENCH_TOME", "0"))
 
@@ -143,7 +160,8 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
                                  deep_interval=ctl_deep_interval
                                  if with_control else DEEP_INTERVAL,
                                  cfg_extrapolate="const" if with_control
-                                 else CFG_EXTRAPOLATE)
+                                 else CFG_EXTRAPOLATE,
+                                 phases=None if with_control else PHASES)
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -186,6 +204,8 @@ def bench_headline(shared):
                   + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
                   + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                   + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
+                  + ("_ph" + "-".join(f"{n}x{k}" for n, k in PHASES)
+                     if PHASES else "")
                   + (f"_tome{TOME:g}" if TOME > 0 else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",

@@ -34,7 +34,7 @@ class DDIMSampler:
     def sample(self, params, rng, shape, x_info, c_info, steps=50, eta=0.0,
                temperature=1.0, x_type="image", c_type="image",
                self_attn_fn=None, encoder_interval=1, cfg_interval=1,
-               deep_interval=1, cfg_extrapolate="const"):
+               deep_interval=1, cfg_extrapolate="const", phases=None):
         """Eager-friendly entry; mirrors reference sample() (ddim.py:58-79).
 
         x_info: optional dict with 'xt' (start latent) or
@@ -67,7 +67,8 @@ class DDIMSampler:
                               encoder_interval=encoder_interval,
                               cfg_interval=cfg_interval,
                               deep_interval=deep_interval,
-                              cfg_extrapolate=cfg_extrapolate)
+                              cfg_extrapolate=cfg_extrapolate,
+                              phases=phases)
 
     def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
                             steps=50, eta=0.0, temperature=1.0,
@@ -139,7 +140,8 @@ class DDIMSampler:
     def sample_fn(self, params, rng, x, c_info, tables, n_steps=None, *,
                   temperature=1.0, noise_dropout=0.0, x_type="image",
                   c_type="image", self_attn_fn=None, encoder_interval=1,
-                  cfg_interval=1, deep_interval=1, cfg_extrapolate="const"):
+                  cfg_interval=1, deep_interval=1, cfg_extrapolate="const",
+                  phases=None):
         """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
 
         encoder_interval > 1 enables encoder propagation (Faster Diffusion,
@@ -173,7 +175,27 @@ class DDIMSampler:
         shallow ENCODER re-runs fresh each reuse step (the current latent
         still enters the model — DeepCache proper); with
         encoder_interval == deep_interval the cached shallow skips are
-        reused too (maximal turbo). Output-changing, SSIM-gated."""
+        reused too (maximal turbo). Output-changing, SSIM-gated.
+
+        phases=[(n1, k1), (n2, k2), ...] enables a PHASED turbo schedule:
+        the first n1 sampled steps (the high-noise end, where guidance
+        bends the trajectory most) run the maximal turbo composition
+        (encoder cache + CFG-delta reuse + DeepCache) at interval k1, the
+        next n2 at k2, and so on; k == 1 phases run the exact sampler.
+        sum(n_i) must equal n_steps. Each k > 1 phase is its own group
+        scan, so a phase boundary is always a group boundary: caches and
+        deltas never cross it, and a phase split that subdivides a uniform
+        schedule at a group boundary (e.g. [(4,2),(4,2)] vs k=2 over 8
+        steps) is bit-identical to the uniform run under
+        cfg_extrapolate="const" (unit-tested). Under "linear" the slope
+        carry resets at each phase boundary (the first group of a phase
+        extrapolates with zero slope), because slopes measured at one
+        interval don't rescale to another. Requires CFG; the uniform
+        interval arguments must stay 1 when phases is given. Motivation
+        (arXiv:2312.00858 §4.2 observes non-uniform caching beats uniform
+        at equal cost): denser key steps early buy quality where reuse
+        error is largest, letting the tail run sparser for the same total
+        key-step budget."""
         model = self.model
         cond = c_info["conditioning"]
         uncond = c_info.get("unconditional_conditioning")
@@ -279,6 +301,44 @@ class DDIMSampler:
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
             return x_prev.astype(xt.dtype), key, pred_x0
 
+        if phases is not None:
+            assert use_cfg, "phases require CFG (the turbo composition)"
+            assert encoder_interval == 1 and cfg_interval == 1 \
+                and deep_interval == 1, (
+                "phases replaces the uniform interval arguments; leave "
+                "encoder/cfg/deep_interval at 1")
+            ns = [int(n) for n, _ in phases]
+            ks = [int(k) for _, k in phases]
+            assert all(n >= 1 for n in ns) and all(k >= 1 for k in ks), phases
+            assert sum(ns) == n_steps, (
+                f"phases cover {sum(ns)} steps, schedule has {n_steps}")
+            x_cur, key_cur, last_px0 = x, rng, None
+            off = 0
+            for n_p, k_p in zip(ns, ks):
+                rows_np = per_step_np[off:off + n_p]
+                off += n_p
+                if k_p == 1:
+                    def exact_step(carry, row):
+                        xt, key = carry
+                        ts = jnp.full((b,), row[0].astype(jnp.int32),
+                                      jnp.int32)
+                        e_t = eps_fn(xt, ts)
+                        x_prev, key, px0 = ddim_update(xt, key, row, e_t)
+                        return (x_prev, key), px0
+                    (x_cur, key_cur), px0s = jax.lax.scan(
+                        exact_step, (x_cur, key_cur),
+                        jnp.asarray(rows_np, jnp.float32))
+                    last_px0 = px0s[-1]
+                else:
+                    x_cur, key_cur, last_px0 = self._sample_fn_cfg_reuse(
+                        params, key_cur, x_cur, rows_np, n_p, make_inputs,
+                        ddim_update, cond=cond, scale=scale, control=control,
+                        control_embed=control_embed, x_type=x_type,
+                        c_type=c_type, self_attn_fn=self_attn_fn,
+                        cfg_interval=k_p, use_enc_cache=True, use_deep=True,
+                        extrapolate=cfg_extrapolate, with_key=True)
+            return x_cur, {"pred_x0": last_px0}
+
         if deep_interval > 1:
             assert use_cfg and cfg_interval == deep_interval, (
                 "deep_interval rides the cfg-reuse group scan: it requires "
@@ -341,7 +401,8 @@ class DDIMSampler:
                              make_inputs, ddim_update, *, cond, scale,
                              control, control_embed, x_type, c_type,
                              self_attn_fn, cfg_interval, use_enc_cache,
-                             use_deep=False, extrapolate="const"):
+                             use_deep=False, extrapolate="const",
+                             with_key=False):
         """CFG-delta-reuse scan (see sample_fn docstring). The step loop is a
         scan over GROUPS of cfg_interval steps — group step 0 runs the full
         CFG-doubled model (refreshing the guidance delta, the encoder cache
@@ -476,4 +537,8 @@ class DDIMSampler:
                 d_j = delta + slope * j if linear else delta
                 x_cur, key_cur, last_px0 = reuse_step(
                     x_cur, key_cur, row, d_j, cache, deep)
+        if with_key:
+            # phased-schedule internal entry: thread the rng key so the
+            # next phase continues the same stream
+            return x_cur, key_cur, last_px0
         return x_cur, {"pred_x0": last_px0}

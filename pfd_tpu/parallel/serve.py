@@ -28,7 +28,7 @@ class DataParallelServer:
     def __init__(self, model, params, mesh=None, *, steps=50, eta=0.0,
                  self_attn_fn=None, encoder_interval=1, cfg_interval=1,
                  deep_interval=1, control_turbo=False,
-                 cfg_extrapolate="const"):
+                 cfg_extrapolate="const", phases=None):
         self.model = model
         self.mesh = mesh or mesh_lib.make_mesh()
         self.sampler = DDIMSampler(model)
@@ -42,6 +42,9 @@ class DataParallelServer:
         self.deep_interval = deep_interval
         # "linear": first-order delta extrapolation (ddim.py sample_fn)
         self.cfg_extrapolate = cfg_extrapolate
+        # [(n, k), ...]: phased turbo schedule (ddim.py sample_fn phases
+        # docstring); replaces the uniform interval knobs
+        self.phases = phases
         # control requests sample exactly unless explicitly opted in
         # (GATE_SET=control SSIM rows, docs/PARITY.md) — same policy as
         # pipeline.py control_turbo
@@ -76,12 +79,13 @@ class DataParallelServer:
                 interval = 1 if exact_ctl else self.encoder_interval
                 cfg_iv = 1 if exact_ctl else self.cfg_interval
                 deep_iv = 1 if exact_ctl else self.deep_interval
+                ph = None if exact_ctl else self.phases
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, ci, tables,
                     self_attn_fn=self.self_attn_fn,
                     encoder_interval=interval, cfg_interval=cfg_iv,
                     deep_interval=deep_iv,
-                    cfg_extrapolate=self.cfg_extrapolate)
+                    cfg_extrapolate=self.cfg_extrapolate, phases=ph)
                 return self.model.vae_decode(params, x, "image")
 
             self._cache[key] = jax.jit(

@@ -45,7 +45,7 @@ class PromptFreeDiffusionPipeline:
                  with_control=True, self_attn_fn=None, config_override=None,
                  encoder_interval=1, quantized=False, tome_ratio=0.0,
                  cfg_interval=1, deep_interval=1, control_turbo=False,
-                 cfg_extrapolate="const"):
+                 cfg_extrapolate="const", phases=None):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
@@ -61,6 +61,10 @@ class PromptFreeDiffusionPipeline:
         # >1: DeepCache (ddim.py deep_interval) — reuse steps run only the
         # highest-resolution UNet level; requires cfg_interval == deep_interval
         self.deep_interval = deep_interval
+        # [(n, k), ...]: phased turbo schedule (ddim.py sample_fn phases
+        # docstring) — dense key steps early, sparse late; replaces the
+        # uniform interval knobs (they must stay 1), sum(n) == ddim_steps
+        self.phases = phases
         # ControlNet requests sample exactly by default even when the plain-
         # path turbos are on (stale control residuals on reuse steps are a
         # separate approximation). control_turbo=True opts control requests
@@ -230,12 +234,13 @@ class PromptFreeDiffusionPipeline:
                 interval = 1 if exact_ctl else self.encoder_interval
                 cfg_iv = 1 if exact_ctl else self.cfg_interval
                 deep_iv = 1 if exact_ctl else self.deep_interval
+                ph = None if exact_ctl else self.phases
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,
                     encoder_interval=interval, cfg_interval=cfg_iv,
                     deep_interval=deep_iv,
-                    cfg_extrapolate=self.cfg_extrapolate)
+                    cfg_extrapolate=self.cfg_extrapolate, phases=ph)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)

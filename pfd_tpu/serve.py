@@ -208,6 +208,16 @@ if __name__ == "__main__":
                          "steps: const (zeroth-order, default) or linear "
                          "(first-order, same cost, tracks guidance drift "
                          "across a group)")
+    ap.add_argument("--phases", default=None, metavar="N1xK1,N2xK2,...",
+                    help="phased turbo schedule (ddim.py sample_fn phases): "
+                         "e.g. 10x2,40x5 runs the first 10 DDIM steps at "
+                         "maximal-turbo interval 2 and the last 40 at "
+                         "interval 5 (Kx1 phases sample exactly). Replaces "
+                         "the uniform --turbo/--cfg-turbo/--deep-turbo "
+                         "knobs; step counts must sum to the step schedule. "
+                         "Output-changing, SSIM-gated (docs/PARITY.md). "
+                         "Ignored on ControlNet requests unless "
+                         "--control-turbo.")
     ap.add_argument("--tome", type=float, default=0.0, metavar="R",
                     help="ToMe token-merge ratio for ds1 self-attention "
                          "(0 = off; output-changing, SSIM-gated)")
@@ -221,6 +231,10 @@ if __name__ == "__main__":
     if args.flash:
         from pfd_tpu.ops.flash_attention import self_attn_fn
         attn = self_attn_fn
+    phases = None
+    if args.phases:
+        phases = [(int(n), int(k)) for n, k in
+                  (part.split("x") for part in args.phases.split(","))]
     pipe = PromptFreeDiffusionPipeline(fp16=args.fp16, quantized=args.int8,
                                        self_attn_fn=attn,
                                        encoder_interval=args.turbo,
@@ -228,7 +242,8 @@ if __name__ == "__main__":
                                        cfg_interval=args.cfg_turbo,
                                        cfg_extrapolate=args.cfg_extrapolate,
                                        deep_interval=args.deep_turbo,
-                                       control_turbo=args.control_turbo)
+                                       control_turbo=args.control_turbo,
+                                       phases=phases)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

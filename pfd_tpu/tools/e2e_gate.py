@@ -236,7 +236,7 @@ def main():
           flush=True)
 
     def run(p, attn, interval, m=model, x0=None, cfg_interval=1,
-            deep_interval=1, extrap="const"):
+            deep_interval=1, extrap="const", phases=None):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -246,7 +246,8 @@ def main():
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval, cfg_extrapolate=extrap)
+            deep_interval=deep_interval, cfg_extrapolate=extrap,
+            phases=phases)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     from pfd_tpu.ops.tome import make_tome_attn
@@ -298,6 +299,15 @@ def main():
                                           None, 5, 5)
     variants["int8_turbo5_cfg5lin_deep5"] = (qparams, self_attn_fn, 5, model,
                                              None, 5, 5, "linear")
+    # phased schedules (ddim.py phases=...): dense key steps early, sparse
+    # late — ph10x2_40x5 spends the k=4 key budget (13), ph10x2_40x8 the
+    # k=5 budget (10), ph5x1_45x5 adds an exact head (14 keys)
+    variants["int8_ph10x2_40x5"] = (qparams, self_attn_fn, 1, model,
+                                    None, 1, 1, "const", [(10, 2), (40, 5)])
+    variants["int8_ph10x2_40x8"] = (qparams, self_attn_fn, 1, model,
+                                    None, 1, 1, "const", [(10, 2), (40, 8)])
+    variants["int8_ph5x1_45x5"] = (qparams, self_attn_fn, 1, model,
+                                   None, 1, 1, "const", [(5, 1), (45, 5)])
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —
@@ -318,8 +328,9 @@ def main():
         cfg_iv = rest[2] if len(rest) > 2 else 1
         deep_iv = rest[3] if len(rest) > 3 else 1
         extrap = rest[4] if len(rest) > 4 else "const"
+        phases = rest[5] if len(rest) > 5 else None
         img = run(p, attn, interval, m=m, x0=x0, cfg_interval=cfg_iv,
-                  deep_interval=deep_iv, extrap=extrap)
+                  deep_interval=deep_iv, extrap=extrap, phases=phases)
         images[name] = img
         s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
                  data_range=1.0)

@@ -64,7 +64,8 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4",
              "int8_cfg3lin", "int8_turbo3_cfg3lin_deep3",
              "int8_turbo4_cfg4lin_deep4", "int8_turbo5_cfg5_deep5",
-             "int8_turbo5_cfg5lin_deep5", "bf16_turbo3_cfg3_deep3")
+             "int8_turbo5_cfg5lin_deep5", "bf16_turbo3_cfg3_deep3",
+             "int8_ph10x2_40x5", "int8_ph10x2_40x8", "int8_ph5x1_45x5")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
@@ -101,7 +102,7 @@ def main():
     x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
 
     def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1,
-               deep_interval=1, extrap="const"):
+               deep_interval=1, extrap="const", phases=None):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -112,7 +113,8 @@ def main():
                     "unconditional_guidance_scale": 2.0},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval, cfg_extrapolate=extrap)
+            deep_interval=deep_interval, cfg_extrapolate=extrap,
+            phases=phases)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -195,6 +197,16 @@ def main():
                                                     cfg_interval=5,
                                                     deep_interval=5,
                                                     extrap="linear"),
+        # phased schedules (ddim.py phases=...): dense key steps early where
+        # guidance bends the trajectory most, sparse late — same key-step
+        # budget as uniform k=4 (13 keys: ph10x2_40x5) / k=5 (10 keys:
+        # ph10x2_40x8); ph5x1_45x5 spends 14 keys with an exact head
+        "int8_ph10x2_40x5": lambda: sample(qparams,
+                                           phases=[(10, 2), (40, 5)]),
+        "int8_ph10x2_40x8": lambda: sample(qparams,
+                                           phases=[(10, 2), (40, 8)]),
+        "int8_ph5x1_45x5": lambda: sample(qparams,
+                                          phases=[(5, 1), (45, 5)]),
         # bf16 turbo composition (no int8): isolates the turbo error from
         # the quant error — gates the latency-oriented b1 bf16 serving mode
         # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)

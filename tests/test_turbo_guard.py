@@ -87,3 +87,28 @@ def test_control_turbo_opt_in(tmp_path):
     a2 = opted.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
     assert np.isfinite(np.asarray(a2[0])).all()
     assert np.abs(np.asarray(a1[0]) - np.asarray(a2[0])).max() > 1e-6
+
+
+def test_control_exact_under_phases(tmp_path):
+    """phases=... is output-changing too: control requests must ignore it
+    (pipeline.py passes phases=None when a control hint is present), while
+    plain requests run the phased schedule."""
+    rng = np.random.default_rng(0)
+    ref = rng.random((64, 64, 3), dtype=np.float32)
+    ctl = np.zeros((64, 64, 3), np.float32)
+    ctl[16:48, 16:48] = 1.0
+
+    exact = _pipe(tmp_path, interval=1)
+    phased = _pipe(tmp_path, interval=1, phases=[(2, 1), (2, 2)])
+    exact.ddim_steps = 4
+    phased.ddim_steps = 4
+    phased.params = exact.params
+
+    a1 = exact.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    a2 = phased.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    p1 = exact.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    p2 = phased.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    assert np.isfinite(np.asarray(p2[0])).all()
+    assert np.abs(np.asarray(p1[0]) - np.asarray(p2[0])).max() > 1e-6
