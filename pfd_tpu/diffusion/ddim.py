@@ -211,6 +211,12 @@ class DDIMSampler:
         if control is not None and hasattr(model, "ctl"):
             control_embed = model.ctl.hint_embed(params["ctl"], control)
             control = None
+        # per-request control gating for mixed batches: (B,) 0/1 — mask 0
+        # reproduces the reference's no-hint semantics exactly (ccs_zeros
+        # pops 0, pfd.py:475-478) while keeping one SPMD program
+        control_mask = c_info.get("control_mask")
+        if control is None and control_embed is None:
+            control_mask = None
 
         total = len(tables.timesteps)
         if n_steps is None:
@@ -238,6 +244,8 @@ class DDIMSampler:
                     ci["control_embed"] = control_embed
                 elif control is not None:
                     ci["control"] = control
+                if control_mask is not None:
+                    ci["control_mask"] = control_mask
                 return xt, ts, ci
             x_in = jnp.concatenate([xt, xt], axis=0)
             t_in = jnp.concatenate([ts, ts], axis=0)
@@ -247,6 +255,9 @@ class DDIMSampler:
                     [control_embed, control_embed], axis=0)
             elif control is not None:
                 ci["control"] = jnp.concatenate([control, control], axis=0)
+            if control_mask is not None:
+                ci["control_mask"] = jnp.concatenate(
+                    [control_mask, control_mask], axis=0)
             return x_in, t_in, ci
 
         def eps_fn(xt, ts):
@@ -302,16 +313,24 @@ class DDIMSampler:
             return x_prev.astype(xt.dtype), key, pred_x0
 
         if phases is not None:
-            assert use_cfg, "phases require CFG (the turbo composition)"
-            assert encoder_interval == 1 and cfg_interval == 1 \
-                and deep_interval == 1, (
-                "phases replaces the uniform interval arguments; leave "
-                "encoder/cfg/deep_interval at 1")
+            # ValueError (not assert): reachable from user input
+            # (serve.py --phases / BENCH_PHASES), must survive python -O
+            if not use_cfg:
+                raise ValueError(
+                    "phases require CFG (the turbo composition)")
+            if not (encoder_interval == 1 and cfg_interval == 1
+                    and deep_interval == 1):
+                raise ValueError(
+                    "phases replaces the uniform interval arguments; leave "
+                    "encoder/cfg/deep_interval at 1")
             ns = [int(n) for n, _ in phases]
             ks = [int(k) for _, k in phases]
-            assert all(n >= 1 for n in ns) and all(k >= 1 for k in ks), phases
-            assert sum(ns) == n_steps, (
-                f"phases cover {sum(ns)} steps, schedule has {n_steps}")
+            if not (all(n >= 1 for n in ns) and all(k >= 1 for k in ks)):
+                raise ValueError(f"phase lengths/intervals must be >= 1: "
+                                 f"{phases}")
+            if sum(ns) != n_steps:
+                raise ValueError(f"phases cover {sum(ns)} steps, schedule "
+                                 f"has {n_steps}")
             x_cur, key_cur, last_px0 = x, rng, None
             off = 0
             for n_p, k_p in zip(ns, ks):
@@ -336,23 +355,29 @@ class DDIMSampler:
                         control_embed=control_embed, x_type=x_type,
                         c_type=c_type, self_attn_fn=self_attn_fn,
                         cfg_interval=k_p, use_enc_cache=True, use_deep=True,
-                        extrapolate=cfg_extrapolate, with_key=True)
+                        extrapolate=cfg_extrapolate, with_key=True,
+                        control_mask=control_mask)
             return x_cur, {"pred_x0": last_px0}
 
         if deep_interval > 1:
-            assert use_cfg and cfg_interval == deep_interval, (
-                "deep_interval rides the cfg-reuse group scan: it requires "
-                "CFG and cfg_interval == deep_interval")
-            assert (control is None and control_embed is None) \
-                or encoder_interval == deep_interval, (
-                "DeepCache with ControlNet requires the encoder cache "
-                "(encoder_interval == deep_interval): fresh shallow skips "
-                "would need the full ControlNet forward")
+            # ValueError (not assert): these knobs are user-reachable
+            # (serve.py / BENCH_* env), must survive python -O
+            if not (use_cfg and cfg_interval == deep_interval):
+                raise ValueError(
+                    "deep_interval rides the cfg-reuse group scan: it "
+                    "requires CFG and cfg_interval == deep_interval")
+            if not ((control is None and control_embed is None)
+                    or encoder_interval == deep_interval):
+                raise ValueError(
+                    "DeepCache with ControlNet requires the encoder cache "
+                    "(encoder_interval == deep_interval): fresh shallow "
+                    "skips would need the full ControlNet forward")
 
         if cfg_interval > 1 and use_cfg:
-            assert encoder_interval in (1, cfg_interval), (
-                "cfg_interval composes with encoder_interval only when the "
-                "intervals are equal (key steps must coincide)")
+            if encoder_interval not in (1, cfg_interval):
+                raise ValueError(
+                    "cfg_interval composes with encoder_interval only when "
+                    "the intervals are equal (key steps must coincide)")
             return self._sample_fn_cfg_reuse(
                 params, rng, x, per_step_np, n_steps, make_inputs, ddim_update,
                 cond=cond, scale=scale, control=control,
@@ -360,7 +385,7 @@ class DDIMSampler:
                 self_attn_fn=self_attn_fn, cfg_interval=cfg_interval,
                 use_enc_cache=encoder_interval > 1,
                 use_deep=deep_interval > 1,
-                extrapolate=cfg_extrapolate)
+                extrapolate=cfg_extrapolate, control_mask=control_mask)
 
         if encoder_interval <= 1:
             def step(carry, inp):
@@ -402,7 +427,7 @@ class DDIMSampler:
                              control, control_embed, x_type, c_type,
                              self_attn_fn, cfg_interval, use_enc_cache,
                              use_deep=False, extrapolate="const",
-                             with_key=False):
+                             with_key=False, control_mask=None):
         """CFG-delta-reuse scan (see sample_fn docstring). The step loop is a
         scan over GROUPS of cfg_interval steps — group step 0 runs the full
         CFG-doubled model (refreshing the guidance delta, the encoder cache
@@ -424,6 +449,8 @@ class DDIMSampler:
                 ci["control_embed"] = control_embed
             elif control is not None:
                 ci["control"] = control
+            if control_mask is not None:
+                ci["control_mask"] = control_mask
             return xt, ts, ci
 
         def full_step(xt, key, row):
@@ -487,7 +514,9 @@ class DDIMSampler:
         # previous group's key-step delta, zeroed (valid=0) for the first
         # group. Carrying (delta_prev, valid) in the scan costs one latent-
         # sized fp32 buffer; the const path's carry stays untouched.
-        assert extrapolate in ("const", "linear"), extrapolate
+        if extrapolate not in ("const", "linear"):
+            raise ValueError(f"cfg_extrapolate must be 'const' or 'linear', "
+                             f"got {extrapolate!r}")
         linear = extrapolate == "linear"
 
         def group(carry, rows):

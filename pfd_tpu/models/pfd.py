@@ -163,6 +163,7 @@ class PromptFreeDiffusion:
                                        timesteps, c_info["c"],
                                        self_attn_fn=self_attn_fn,
                                        hint_is_embedding=embed is not None)
+            residuals = _mask_residuals(residuals, c_info)
         merged = self._merged_diffuser_params(params, x_type, c_type)
         return self.diffuser[x_type].apply_encoder(
             merged, x_info["x"], timesteps, c_info["c"],
@@ -179,8 +180,17 @@ class PromptFreeDiffusion:
 
     def deep_split_skips(self, x_type="image"):
         """Number of shallow skips at the diffuser's DeepCache branch point."""
-        split = self.diffuser[x_type].decoder_split()
-        assert split is not None, "DeepCache needs a multi-level diffuser"
+        diffuser = self.diffuser[x_type]
+        split_fn = getattr(diffuser, "decoder_split", None)
+        split = split_fn() if split_fn is not None else None
+        if split is None:
+            # clear error instead of a trace-time AttributeError when a
+            # classic-layout diffuser (e.g. openai_unet_sd) is driven with
+            # deep_interval>1 / phases
+            raise ValueError(
+                "DeepCache (deep_interval>1 / phased schedules) requires "
+                "the 2d_next UNet layout with a multi-level block plan; "
+                f"{type(diffuser).__name__} does not support decoder_split")
         return split[2]
 
     def apply_model_encoder_shallow(self, params, x_info, timesteps, c_info, *,
@@ -333,6 +343,21 @@ class PromptFreeDiffusion:
         return loss, {"loss_simple": loss_simple.mean(), "loss_vlb": lvlb.mean()}
 
 
+
+def _mask_residuals(residuals, c_info):
+    """Per-request control gating: multiply the 13 residuals by a (B,) 0/1
+    mask. mask==0 reproduces the reference's no-hint semantics exactly (the
+    dummy ccs_zeros pops 0 into every merge site, pfd.py:475-478) while
+    keeping a single SPMD program for mixed control/no-control batches;
+    fractional values implement the reference's stored-but-unapplied
+    control_scales (pfd.py:463) per request."""
+    mask = c_info.get("control_mask")
+    if residuals is None or mask is None:
+        return residuals
+    m = jnp.reshape(mask, (-1, 1, 1, 1))
+    return [r * m.astype(r.dtype) for r in residuals]
+
+
 @registry.register("pfd_with_control")
 class PromptFreeDiffusionWithControl(PromptFreeDiffusion):
     def __init__(self, *args, ctl_cfg=None, **kwargs):
@@ -360,6 +385,7 @@ class PromptFreeDiffusionWithControl(PromptFreeDiffusion):
             residuals = self.ctl.apply(params["ctl"], x, hint, timesteps, c,
                                        self_attn_fn=self_attn_fn,
                                        hint_is_embedding=embed is not None)
+            residuals = _mask_residuals(residuals, c_info)
 
         glayer = x_type if self.global_layer_ptr is None else self.global_layer_ptr
         unet = self.diffuser[x_type]

@@ -19,11 +19,17 @@ Semantics (not layout) match the reference blocks:
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Read ONCE at import: the fused-upconv A/B knob is process-level — jitted
+# pipelines cache their traces, so flipping the env after first compile
+# would silently have no effect (set it before the process starts).
+NO_FUSED_UPCONV = bool(os.environ.get("PFD_NO_FUSED_UPCONV"))
 
 
 # ---------------------------------------------------------------------------
@@ -285,9 +291,10 @@ def upsample_conv2d(x, p):
 
     ``PFD_NO_FUSED_UPCONV=1`` falls back to the naive
     upsample-then-conv chain (e2e A/B handle: the per-op TPU attribution
-    is unmeasurable on this backend, docs/PARITY.md)."""
-    import os
-    if os.environ.get("PFD_NO_FUSED_UPCONV"):
+    is unmeasurable on this backend, docs/PARITY.md). Read once at import
+    (module constant) — set it before the process starts; flipping it
+    after a pipeline compiled would silently not take effect."""
+    if NO_FUSED_UPCONV:
         return conv2d(nearest_upsample_2x(x), p, padding=1)
     n, h, w, c = x.shape
     if "kernel_q" in p:

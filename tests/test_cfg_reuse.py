@@ -91,7 +91,7 @@ def test_cfg_reuse_guided_ballpark():
 
 def test_cfg_reuse_mismatched_encoder_interval_rejected():
     params, sampler, tables, c, x0 = _setup()
-    with pytest.raises(AssertionError, match="cfg_interval"):
+    with pytest.raises(ValueError, match="cfg_interval"):
         sampler.sample_fn(params, jax.random.PRNGKey(2), x0, _ci(c, 2.0),
                           tables, encoder_interval=3, cfg_interval=2)
 

@@ -74,7 +74,7 @@ def test_deepcache_sampler_runs_and_changes_output(enc_interval):
 
 def test_deepcache_requires_matching_cfg_interval():
     params, sampler, tables, c, x0 = _setup()
-    with pytest.raises(AssertionError, match="deep_interval"):
+    with pytest.raises(ValueError, match="deep_interval"):
         sampler.sample_fn(params, jax.random.PRNGKey(2), x0, _ci(c, 2.0),
                           tables, deep_interval=2)
 

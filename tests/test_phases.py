@@ -99,13 +99,13 @@ def test_phases_trailing_partial_group_inside_phase():
 
 def test_phases_validation_errors():
     params, sampler, tables, c, x0 = _setup()
-    with pytest.raises(AssertionError):  # wrong total
+    with pytest.raises(ValueError):  # wrong total
         sampler.sample_fn(params, jax.random.PRNGKey(2), x0, _ci(c, 2.0),
                           tables, phases=[(4, 2), (3, 2)])
-    with pytest.raises(AssertionError):  # uniform intervals must stay 1
+    with pytest.raises(ValueError):  # uniform intervals must stay 1
         sampler.sample_fn(params, jax.random.PRNGKey(2), x0, _ci(c, 2.0),
                           tables, phases=[(8, 2)], cfg_interval=2)
-    with pytest.raises(AssertionError):  # phases require CFG
+    with pytest.raises(ValueError):  # phases require CFG
         sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
                           {"conditioning": c,
                            "unconditional_conditioning": None,
