@@ -256,12 +256,16 @@ def bench_controlnet(shared):
     img = rng.random((SIZE, SIZE, 3), dtype=np.float32)
     hint = annotators.preprocess(img, method="canny", size=(SIZE, SIZE))
     hint = jnp.tile(jnp.asarray(hint)[None], (BATCH, 1, 1, 1))
-    # control-path turbo intervals (BENCH_CTL_*): exact (1) by default —
-    # ControlNet turbos need their own GATE_SET=control SSIM rows
+    # control-path turbo intervals (BENCH_CTL_*): default k=3 (round 5) —
+    # gated on BOTH regimes: direct vs torch-fp32-with-control 0.99898
+    # (GATE_SET=control e2e_gate) and 0.98406 under the control fan-in
+    # proxy (GATE_SET=control quant_gate). 1.9296 img/s/chip measured vs
+    # 0.8930 exact; BENCH_CTL_*_INTERVAL=1 restores exact control sampling
+    # (the pipeline/serving API keeps control requests exact by default).
     ctl_enc = _env_int("BENCH_CTL_ENCODER_INTERVAL",
-                       ENC_INTERVAL if _ENC_ENV else 1)
-    ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 1)
-    ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 1)
+                       ENC_INTERVAL if _ENC_ENV else 3)
+    ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 3)
+    ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 3)
     fn = make_e2e(model, sampler, shared["tables"], batch=BATCH,
                   with_control=True, enc_interval=ctl_enc,
                   ctl_cfg_interval=ctl_cfg, ctl_deep_interval=ctl_deep)
@@ -349,7 +353,67 @@ def bench_dp_serve(shared):
                     + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
                     + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                     + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
+                    + ("_ph" + "-".join(f"{n}x{k}" for n, k in PHASES)
+                       if PHASES else "")
                     + (f"_tome{TOME:g}" if TOME > 0 else ""),
+          "value": round(ips, 4), "unit": "images/sec/chip",
+          "vs_baseline": round(ips / 2.0, 4)})
+
+
+def bench_zoo_serve(shared):
+    """BASELINE config #5 AS WRITTEN: batch-8 serving with per-request
+    MIXED CHECKPOINTS (2 diffuser tags — same pytree structure, the
+    hot-swap contract app.py:137-162) AND per-request ControlNet on/off
+    (zero-hint ccs_zeros semantics via control_mask, pfd.py:475-478),
+    through parallel/zoo_serve.py grouped mode (this chip's share of the
+    8-way DP layout; the per-device-checkpoint sharded mode is validated
+    on the virtual mesh by tests/test_zoo_serve.py)."""
+    from pfd_tpu import annotators
+    from pfd_tpu.parallel import mesh as mesh_lib
+    from pfd_tpu.parallel.zoo_serve import ZooServer
+    import numpy as np
+
+    model, params, sampler = build(with_control=True)
+
+    def perturb(a):
+        return a * 1.0001 if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    zoo = {"ckpt_a": params["diffuser"],
+           "ckpt_b": jax.tree.map(perturb, params["diffuser"])}
+    mesh = mesh_lib.make_mesh(jax.devices(), tp=1)
+    ctl_enc = _env_int("BENCH_CTL_ENCODER_INTERVAL", 3)
+    ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 3)
+    ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 3)
+    server = ZooServer(model, params, zoo, mesh=mesh, steps=STEPS,
+                       self_attn_fn=_attn(), encoder_interval=ctl_enc,
+                       cfg_interval=ctl_cfg, deep_interval=ctl_deep,
+                       control_turbo=True)
+
+    rng = np.random.default_rng(0)
+    b = _env_int("BENCH_DP_BATCH", 8)
+    refs = rng.random((b, SIZE, SIZE, 3), dtype=np.float32)
+    hint = annotators.preprocess(rng.random((SIZE, SIZE, 3),
+                                            dtype=np.float32),
+                                 method="canny", size=(SIZE, SIZE))
+    hints = np.tile(np.asarray(hint)[None], (b, 1, 1, 1))
+    tags = ["ckpt_a" if i % 2 == 0 else "ckpt_b" for i in range(b)]
+    on = [i % 4 < 2 for i in range(b)]   # half the requests use control
+
+    out = server.generate(refs, tags, hints=hints, control_on=on,
+                          h=SIZE, w=SIZE, seed=1)
+    _force(out)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = server.generate(refs, tags, hints=hints, control_on=on,
+                              h=SIZE, w=SIZE, seed=2 + i)
+    _force(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    ips = b / dt
+    suffix = ((f"_turbo{ctl_enc}" if ctl_enc > 1 else "")
+              + (f"_cfg{ctl_cfg}" if ctl_cfg > 1 else "")
+              + (f"_deep{ctl_deep}" if ctl_deep > 1 else ""))
+    emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ckpt_ctl"
+                    f"_batch{b}{suffix}",
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})
 
@@ -415,11 +479,15 @@ def main():
         bench_controlnet(shared)
         return
     bench_headline(shared)
+    if which == "zoo_serve":
+        bench_zoo_serve(shared)
+        return
     if which == "all":
         bench_zoo_swap(shared)
         bench_preprocess(shared)
         bench_dp_serve(shared)
         bench_controlnet(shared)
+        bench_zoo_serve(shared)
     emit(shared["headline"])  # headline LAST: the driver parses the final line
 
 

@@ -21,9 +21,10 @@ class DataParallelServer:
     """Batched mixed-reference serving over a mesh.
 
     Each request in the batch has its own reference image (its own SeeCoder
-    tokens) and optionally its own control hint; checkpoints are shared
-    (per-request checkpoint mixing would break SPMD batching — route those to
-    separate server instances)."""
+    tokens) and optionally its own control hint; checkpoints are shared.
+    Per-request checkpoint mixing lives in
+    :class:`pfd_tpu.parallel.zoo_serve.ZooServer` (stacked zoo pytrees —
+    per-device weights under shard_map, or tag-grouped program reuse)."""
 
     def __init__(self, model, params, mesh=None, *, steps=50, eta=0.0,
                  self_attn_fn=None, encoder_interval=1, cfg_interval=1,
