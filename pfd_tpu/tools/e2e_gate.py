@@ -299,6 +299,8 @@ def main():
                                           None, 5, 5)
     variants["int8_turbo5_cfg5lin_deep5"] = (qparams, self_attn_fn, 5, model,
                                              None, 5, 5, "linear")
+    variants["int8_turbo6_cfg6lin_deep6"] = (qparams, self_attn_fn, 6, model,
+                                             None, 6, 6, "linear")
     # phased schedules (ddim.py phases=...): dense key steps early, sparse
     # late — ph10x2_40x5 spends the k=4 key budget (13), ph10x2_40x8 the
     # k=5 budget (10), ph5x1_45x5 adds an exact head (14 keys)

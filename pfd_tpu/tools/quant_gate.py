@@ -19,6 +19,14 @@ canny-like hint, SSIM vs the exact bf16 control sampler. This is the
 fan-in-proxy twin of tools/e2e_gate.py GATE_SET=control (whose direct rows
 saturate at the 0.99898 int8 floor — the proxy is where control turbos
 actually separate; docs/PARITY.md round 4).
+
+Statistical gating (round 5): by default each row scores GATE_SAMPLES=8
+samples — 4 noise seeds x 2 reference images (x 2 hint images under
+GATE_SET=control) — batched into ONE compile, and reports min/mean/
+per-sample SSIM. The promotion gate is **min >= 0.95** (a single-sample
+pass is not a gate; VERDICT r4 weak #2). Sample 0 reproduces the legacy
+single-sample draws bit-exactly, so `ssim_s0` is directly comparable to
+every round-3/4 number. GATE_SAMPLES=1 restores the legacy behavior.
 """
 
 from __future__ import annotations
@@ -64,14 +72,46 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_turbo3_cfg3_deep3", "int8_turbo4_cfg4_deep4",
              "int8_cfg3lin", "int8_turbo3_cfg3lin_deep3",
              "int8_turbo4_cfg4lin_deep4", "int8_turbo5_cfg5_deep5",
-             "int8_turbo5_cfg5lin_deep5", "bf16_turbo3_cfg3_deep3",
-             "int8_ph10x2_40x5", "int8_ph10x2_40x8", "int8_ph5x1_45x5")
+             "int8_turbo5_cfg5lin_deep5", "int8_turbo6_cfg6lin_deep6",
+             "bf16_turbo3_cfg3_deep3",
+             "int8_ph10x2_40x5", "int8_ph10x2_40x8", "int8_ph5x1_45x5",
+             "int8_ph10x2_40x8lin", "int8_ph10x2_40x10",
+             "int8_ph10x2_40x20", "int8_ph20x4_30x15")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
 # deep caching under control requires the encoder cache too
 CTL_ROW_NAMES = ("ctl_int8", "ctl_int8_cfg2", "ctl_int8_turbo2_cfg2",
                  "ctl_int8_turbo2_cfg2_deep2", "ctl_int8_turbo3_cfg3_deep3")
+
+
+N_SAMPLES = int(os.environ.get("GATE_SAMPLES", "8"))
+
+
+def _sample_grid(n_samples, draw_legacy, draw_extra_refs, draw_extra_noise):
+    """Build (refs, noises) stacked on the batch axis: sample i pairs
+    ref[i // n_seeds] with noise[i % n_seeds]. Sample 0 == the legacy
+    single-sample draws (same PCG64 stream), so ssim_s0 stays comparable
+    to the round-3/4 single-sample tables."""
+    ref0, x0 = draw_legacy()
+    if n_samples == 1:
+        return ref0, x0
+    n_refs = 2
+    n_seeds = n_samples // n_refs
+    if n_refs * n_seeds != n_samples:
+        raise SystemExit(f"GATE_SAMPLES={n_samples} must be 1 or even")
+    refs = np.concatenate([ref0] + list(draw_extra_refs(n_refs - 1)), axis=0)
+    noises = np.concatenate([x0] + list(draw_extra_noise(n_seeds - 1)),
+                            axis=0)
+    ref_b = np.repeat(refs, n_seeds, axis=0)       # i // n_seeds
+    noise_b = np.tile(noises, (n_refs, 1, 1, 1))   # i % n_seeds
+    return ref_b, noise_b
+
+
+def _ssim_stats(img, img_fp):
+    per = [ssim(np.clip(img[i], 0, 1), np.clip(img_fp[i], 0, 1),
+                data_range=1.0) for i in range(img.shape[0])]
+    return per
 
 
 def _gate_names(row_names=ROW_NAMES, default=("int8",)):
@@ -98,8 +138,17 @@ def main():
     params = _dezero(model.init(jax.random.PRNGKey(1)))
 
     rng = np.random.default_rng(5)
-    ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
-    x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
+    rng2 = np.random.default_rng(1005)
+    ref_np, x_np = _sample_grid(
+        N_SAMPLES,
+        lambda: (np.asarray(rng.random((1, 512, 512, 3)), np.float32),
+                 np.asarray(rng.standard_normal((1, 64, 64, 4)), np.float32)),
+        lambda n: [np.asarray(rng2.random((1, 512, 512, 3)), np.float32)
+                   for _ in range(n)],
+        lambda n: [np.asarray(rng2.standard_normal((1, 64, 64, 4)),
+                              np.float32) for _ in range(n)])
+    ref_img = jnp.asarray(ref_np)
+    x_start = jnp.asarray(x_np)
 
     def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1,
                deep_interval=1, extrap="const", phases=None):
@@ -124,10 +173,14 @@ def main():
     qparams["vae"] = quant.quantize_params(params["vae"])
 
     def gate(name, img):
-        s = ssim(np.clip(img[0], 0, 1), np.clip(img_fp[0], 0, 1),
-                 data_range=1.0)
+        per = _ssim_stats(img, img_fp)
         print(json.dumps({
-            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(float(s), 5),
+            # the headline key is now the MIN over samples (the gate);
+            # s0 reproduces the legacy single-sample number exactly
+            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(min(per), 5),
+            "mean": round(float(np.mean(per)), 5),
+            "s0": round(per[0], 5), "n": len(per),
+            "per_sample": [round(s, 5) for s in per],
             "finite": bool(np.isfinite(img).all()),
         }), flush=True)
 
@@ -197,6 +250,12 @@ def main():
                                                     cfg_interval=5,
                                                     deep_interval=5,
                                                     extrap="linear"),
+        # k=6 probe (50 = 8*6+2: trailing partial group); the lin proxy
+        # trend (0.985/0.975/0.964 at k=3/4/5) puts it right at the gate
+        "int8_turbo6_cfg6lin_deep6": lambda: sample(qparams, interval=6,
+                                                    cfg_interval=6,
+                                                    deep_interval=6,
+                                                    extrap="linear"),
         # phased schedules (ddim.py phases=...): dense key steps early where
         # guidance bends the trajectory most, sparse late — same key-step
         # budget as uniform k=4 (13 keys: ph10x2_40x5) / k=5 (10 keys:
@@ -207,6 +266,20 @@ def main():
                                            phases=[(10, 2), (40, 8)]),
         "int8_ph5x1_45x5": lambda: sample(qparams,
                                           phases=[(5, 1), (45, 5)]),
+        # sparser-tail phased probes (round 5): ph10x2_40x8 measured
+        # 0.98849 min-over-8 — k=5's key budget at near-k=3 quality — so
+        # the tail has headroom toward the 0.95 gate: 9 keys (40x10),
+        # 7 keys (40x20), and a soft-head 7-key variant; lin = first-order
+        # delta extrapolation composed with the dense-early schedule
+        "int8_ph10x2_40x8lin": lambda: sample(qparams,
+                                              phases=[(10, 2), (40, 8)],
+                                              extrap="linear"),
+        "int8_ph10x2_40x10": lambda: sample(qparams,
+                                            phases=[(10, 2), (40, 10)]),
+        "int8_ph10x2_40x20": lambda: sample(qparams,
+                                            phases=[(10, 2), (40, 20)]),
+        "int8_ph20x4_30x15": lambda: sample(qparams,
+                                            phases=[(20, 4), (30, 15)]),
         # bf16 turbo composition (no int8): isolates the turbo error from
         # the quant error — gates the latency-oriented b1 bf16 serving mode
         # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)
@@ -236,11 +309,25 @@ def main_control():
     params = _dezero(model.init(jax.random.PRNGKey(1)))
 
     rng = np.random.default_rng(5)
-    ref_img = jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
-    x_start = jnp.asarray(rng.standard_normal((1, 64, 64, 4)), jnp.float32)
-    hint_src = rng.random((512, 512, 3), dtype=np.float32)
-    hint = jnp.asarray(annotators.preprocess(hint_src, method="canny",
-                                             size=(512, 512)))[None]
+    rng2 = np.random.default_rng(1005)
+    ref_np, x_np = _sample_grid(
+        N_SAMPLES,
+        lambda: (np.asarray(rng.random((1, 512, 512, 3)), np.float32),
+                 np.asarray(rng.standard_normal((1, 64, 64, 4)), np.float32)),
+        lambda n: [np.asarray(rng2.random((1, 512, 512, 3)), np.float32)
+                   for _ in range(n)],
+        lambda n: [np.asarray(rng2.standard_normal((1, 64, 64, 4)),
+                              np.float32) for _ in range(n)])
+    ref_img = jnp.asarray(ref_np)
+    x_start = jnp.asarray(x_np)
+    # one hint source per reference image (sample i -> hint[i // n_seeds]);
+    # hint 0 reproduces the legacy stream position (drawn after ref0/x0)
+    hint_srcs = [rng.random((512, 512, 3), dtype=np.float32)]
+    if N_SAMPLES > 1:
+        hint_srcs.append(rng2.random((512, 512, 3), dtype=np.float32))
+    hints = np.stack([np.asarray(annotators.preprocess(
+        h, method="canny", size=(512, 512))) for h in hint_srcs])
+    hint = jnp.asarray(np.repeat(hints, N_SAMPLES // len(hint_srcs), axis=0))
 
     def sample(p, interval=1, cfg_interval=1, deep_interval=1):
         c = model.ctx_encode(p, ref_img, "image")
@@ -265,10 +352,12 @@ def main_control():
             qparams[k] = quant.quantize_params(params[k])
 
     def gate(name, img):
-        s = ssim(np.clip(img[0], 0, 1), np.clip(img_fp[0], 0, 1),
-                 data_range=1.0)
+        per = _ssim_stats(img, img_fp)
         print(json.dumps({
-            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(float(s), 5),
+            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(min(per), 5),
+            "mean": round(float(np.mean(per)), 5),
+            "s0": round(per[0], 5), "n": len(per),
+            "per_sample": [round(s, 5) for s in per],
             "finite": bool(np.isfinite(img).all()),
         }), flush=True)
 
