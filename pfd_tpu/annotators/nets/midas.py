@@ -77,13 +77,13 @@ def _rn_backbone(p, x):
     return feats[0], feats[1], feats[2]
 
 
-def _vit_block(p, x, policy_dtype=jnp.float32):
+def _vit_block(p, x, policy_dtype=jnp.float32, heads=_VIT_HEADS):
     h = nn.layer_norm(x, p["norm1"])
     qkv = nn.linear(h, p["attn"]["qkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = nn.split_heads(q, _VIT_HEADS)
-    k = nn.split_heads(k, _VIT_HEADS)
-    v = nn.split_heads(v, _VIT_HEADS)
+    q = nn.split_heads(q, heads)
+    k = nn.split_heads(k, heads)
+    v = nn.split_heads(v, heads)
     o = nn.dot_product_attention(q, k, v)
     x = x + nn.linear(nn.merge_heads(o), p["attn"]["proj"])
     h = nn.layer_norm(x, p["norm2"])
@@ -93,11 +93,15 @@ def _vit_block(p, x, policy_dtype=jnp.float32):
 
 
 def _resize_pos_embed(pos_embed, gh, gw):
-    """vit.py:100-115: bilinear-resize grid part, keep cls token."""
+    """vit.py:100-115: bilinear-resize grid part, keep cls token.
+    antialias=False matches torch F.interpolate's plain bilinear when the
+    target grid is SMALLER than the stored one (jax antialiases
+    minification by default; torch never does)."""
     tok, grid = pos_embed[:, :1], pos_embed[0, 1:]
     gs = int(np.sqrt(grid.shape[0]))
     grid = grid.reshape(1, gs, gs, -1)
-    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), "bilinear")
+    grid = jax.image.resize(grid, (1, gh, gw, grid.shape[-1]), "bilinear",
+                            antialias=False)
     return jnp.concatenate([tok, grid.reshape(1, gh * gw, -1)], axis=1)
 
 
@@ -157,6 +161,28 @@ def dpt_decode(sc, layer_1, layer_2, layer_3, layer_4):
     h = nn.conv2d(h, oc["4"], padding=0)
     h = jax.nn.relu(h)  # non_negative
     return h[:, :, :, 0]
+
+
+def vit_forward_flex(params, x, *, heads, patch):
+    """Plain-ViT forward_flex (reference vit.py:117-152): conv patch embed,
+    cls token, interpolated position embedding (vit.py:100-115), pre-norm
+    blocks, final LayerNorm. The hybrid backbone swaps the patch embed for
+    the ResNet stage (vit.py:127-129); this is the plain path, parity-tested
+    against the reference's OWN forward_flex at reduced width
+    (tests/test_annotators.py)."""
+    b, H, W, _ = x.shape
+    h = nn.conv2d(x, params["patch_embed"]["proj"], stride=patch, padding=0)
+    gh, gw = h.shape[1], h.shape[2]
+    dim = h.shape[-1]
+    tokens = h.reshape(b, gh * gw, dim)
+    cls = jnp.broadcast_to(params["cls_token"].reshape(1, 1, dim)
+                           .astype(h.dtype), (b, 1, dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    tokens = tokens + _resize_pos_embed(params["pos_embed"].astype(h.dtype),
+                                        gh, gw)
+    for i in range(len(params["blocks"])):
+        tokens = _vit_block(params["blocks"][str(i)], tokens, heads=heads)
+    return nn.layer_norm(tokens, params["norm"])
 
 
 @jax.jit

@@ -205,3 +205,92 @@ def test_midas_project_readout_parity():
     params = torch_sd_to_pytree(ref_utils.sd_numpy(pr))
     got = np.asarray(_project_readout(params["project"], jnp.asarray(x)))
     assert_close(got, want, rtol=2e-4, atol=2e-4, name="project readout")
+
+
+def test_midas_vit_forward_flex_parity():
+    """Plain-ViT backbone parity at reduced width: the reference's OWN
+    `forward_flex` + `_resize_pos_embed` (vit.py:100-152) — bound onto a
+    hand-instantiated ViT (timm-standard pre-norm blocks: packed-qkv
+    attention + GELU MLP; timm itself is absent, which is exactly why the
+    reference cannot build its full backbone here) — vs
+    pfd_tpu vit_forward_flex with shared weights. The input grid (4x8)
+    differs from the pos-embed's native grid (6x6), so the bilinear PE
+    interpolation path is live. The remaining untestable piece is the
+    hybrid's ResNet stage wiring through timm's create_model
+    (vit.py:343-476) — its StdConv/GN bottleneck math is covered separately
+    by the structural hybrid test above; this closes the plain-ViT half."""
+    import sys
+    import types
+
+    ref_utils.load_reference()
+    if "timm" not in sys.modules:
+        timm_stub = types.ModuleType("timm")
+        timm_stub.create_model = None
+        sys.modules["timm"] = timm_stub
+    import torch
+    from lib.model_zoo.controlnet_annotator.midas.midas import vit as ref_vit
+
+    from pfd_tpu.annotators.nets.midas import vit_forward_flex
+    from pfd_tpu.io.convert import torch_sd_to_pytree
+
+    dim, heads, depth, patch, grid = 48, 4, 2, 4, 6
+
+    class TimmBlock(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = torch.nn.LayerNorm(dim)
+            self.attn = torch.nn.Module()
+            self.attn.qkv = torch.nn.Linear(dim, dim * 3, bias=True)
+            self.attn.proj = torch.nn.Linear(dim, dim)
+            self.norm2 = torch.nn.LayerNorm(dim)
+            self.mlp = torch.nn.Module()
+            self.mlp.fc1 = torch.nn.Linear(dim, dim * 4)
+            self.mlp.fc2 = torch.nn.Linear(dim * 4, dim)
+
+        def forward(self, x):
+            b, s, c = x.shape
+            h = self.norm1(x)
+            qkv = self.attn.qkv(h).reshape(b, s, 3, heads, c // heads)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            a = torch.nn.functional.scaled_dot_product_attention(
+                qkv[0], qkv[1], qkv[2])
+            x = x + self.attn.proj(a.transpose(1, 2).reshape(b, s, c))
+            h = torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x)))
+            return x + self.mlp.fc2(h)
+
+    class MiniViT(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.start_index = 1
+            self.patch_size = [patch, patch]
+            self.patch_embed = torch.nn.Module()
+            self.patch_embed.proj = torch.nn.Conv2d(3, dim, patch,
+                                                    stride=patch)
+            self.cls_token = torch.nn.Parameter(torch.zeros(1, 1, dim))
+            self.pos_embed = torch.nn.Parameter(
+                torch.zeros(1, 1 + grid * grid, dim))
+            self.pos_drop = torch.nn.Dropout(0.0)
+            self.blocks = torch.nn.ModuleList(
+                [TimmBlock() for _ in range(depth)])
+            self.norm = torch.nn.LayerNorm(dim)
+            self.dist_token = None
+
+    ref_utils.seed_all(2)
+    net = MiniViT().eval()
+    ref_utils.randomize_params(net, seed=11)
+
+    # bind the reference's own functions, exactly as _make_vit_b16_backbone
+    # does (vit.py:285-294)
+    net.forward_flex = types.MethodType(ref_vit.forward_flex, net)
+    net._resize_pos_embed = types.MethodType(ref_vit._resize_pos_embed, net)
+
+    x = np.random.default_rng(6).standard_normal((1, 3, 16, 32)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        want = net.forward_flex(torch.from_numpy(x)).numpy()
+
+    params = torch_sd_to_pytree(ref_utils.sd_numpy(net))
+    got = np.asarray(vit_forward_flex(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), heads=heads,
+        patch=patch))
+    assert_close(got, want, rtol=2e-4, atol=2e-4, name="vit forward_flex")
