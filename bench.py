@@ -135,7 +135,7 @@ def build(with_control=False):
 
 def make_e2e(model, sampler, tables, *, batch, with_control=False,
              mixed_refs=False, enc_interval=None, ctl_cfg_interval=1,
-             ctl_deep_interval=1):
+             ctl_deep_interval=1, ctl_phases=None):
     """One jitted program: SeeCoder encode -> CFG DDIM scan -> VAE decode."""
     attn = _attn()
     interval = ENC_INTERVAL if enc_interval is None else enc_interval
@@ -161,7 +161,7 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
                                  if with_control else DEEP_INTERVAL,
                                  cfg_extrapolate="const" if with_control
                                  else CFG_EXTRAPOLATE,
-                                 phases=None if with_control else PHASES)
+                                 phases=ctl_phases if with_control else PHASES)
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -266,14 +266,22 @@ def bench_controlnet(shared):
                        ENC_INTERVAL if _ENC_ENV else 3)
     ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 3)
     ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 3)
+    # BENCH_CTL_PHASES="10x2,40x8": phased control schedule (rides the
+    # encoder cache, so residuals compose); overrides the interval knobs
+    ctl_ph = _parse_phases(os.environ.get("BENCH_CTL_PHASES"))
+    if ctl_ph is not None:
+        ctl_enc = ctl_cfg = ctl_deep = 1
     fn = make_e2e(model, sampler, shared["tables"], batch=BATCH,
                   with_control=True, enc_interval=ctl_enc,
-                  ctl_cfg_interval=ctl_cfg, ctl_deep_interval=ctl_deep)
+                  ctl_cfg_interval=ctl_cfg, ctl_deep_interval=ctl_deep,
+                  ctl_phases=ctl_ph)
     ref = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
     ips, _ = throughput(fn, params, (ref, hint))
     suffix = ((f"_turbo{ctl_enc}" if ctl_enc > 1 else "")
               + (f"_cfg{ctl_cfg}" if ctl_cfg > 1 else "")
-              + (f"_deep{ctl_deep}" if ctl_deep > 1 else ""))
+              + (f"_deep{ctl_deep}" if ctl_deep > 1 else "")
+              + ("_ph" + "-".join(f"{n}x{k}" for n, k in ctl_ph)
+                 if ctl_ph else ""))
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
                     f"_controlnet{suffix}",
           "value": round(ips, 4), "unit": "images/sec/chip",

@@ -82,10 +82,14 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
 # deep caching under control requires the encoder cache too
 CTL_ROW_NAMES = ("ctl_int8", "ctl_int8_cfg2", "ctl_int8_turbo2_cfg2",
-                 "ctl_int8_turbo2_cfg2_deep2", "ctl_int8_turbo3_cfg3_deep3")
+                 "ctl_int8_turbo2_cfg2_deep2", "ctl_int8_turbo3_cfg3_deep3",
+                 "ctl_int8_ph10x2_40x8")
 
 
 N_SAMPLES = int(os.environ.get("GATE_SAMPLES", "8"))
+# GATE_SIZE: pixel size of the operating point (default 512; 768 gives the
+# resolution-range evidence row — the latent grid scales with it)
+SIZE = int(os.environ.get("GATE_SIZE", "512"))
 
 
 def _sample_grid(n_samples, draw_legacy, draw_extra_refs, draw_extra_noise):
@@ -139,13 +143,14 @@ def main():
 
     rng = np.random.default_rng(5)
     rng2 = np.random.default_rng(1005)
+    g = SIZE // 8
     ref_np, x_np = _sample_grid(
         N_SAMPLES,
-        lambda: (np.asarray(rng.random((1, 512, 512, 3)), np.float32),
-                 np.asarray(rng.standard_normal((1, 64, 64, 4)), np.float32)),
-        lambda n: [np.asarray(rng2.random((1, 512, 512, 3)), np.float32)
+        lambda: (np.asarray(rng.random((1, SIZE, SIZE, 3)), np.float32),
+                 np.asarray(rng.standard_normal((1, g, g, 4)), np.float32)),
+        lambda n: [np.asarray(rng2.random((1, SIZE, SIZE, 3)), np.float32)
                    for _ in range(n)],
-        lambda n: [np.asarray(rng2.standard_normal((1, 64, 64, 4)),
+        lambda n: [np.asarray(rng2.standard_normal((1, g, g, 4)),
                               np.float32) for _ in range(n)])
     ref_img = jnp.asarray(ref_np)
     x_start = jnp.asarray(x_np)
@@ -172,12 +177,14 @@ def main():
     qparams["diffuser"] = quant.quantize_params(params["diffuser"])
     qparams["vae"] = quant.quantize_params(params["vae"])
 
+    sz = "" if SIZE == 512 else f"_{SIZE}"
+
     def gate(name, img):
         per = _ssim_stats(img, img_fp)
         print(json.dumps({
             # the headline key is now the MIN over samples (the gate);
             # s0 reproduces the legacy single-sample number exactly
-            f"fullsize_ddim50_ssim_{name}_vs_bf16": round(min(per), 5),
+            f"fullsize{sz}_ddim50_ssim_{name}_vs_bf16": round(min(per), 5),
             "mean": round(float(np.mean(per)), 5),
             "s0": round(per[0], 5), "n": len(per),
             "per_sample": [round(s, 5) for s in per],
@@ -192,8 +199,8 @@ def main():
     eps_x = x_start + 1e-3 * jnp.asarray(
         np.random.default_rng(11).standard_normal(x_start.shape),
         jnp.float32)
-    tome3 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)
-    tome5 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)
+    tome3 = make_tome_attn(self_attn_fn, (g, g), ratio=0.25)
+    tome5 = make_tome_attn(self_attn_fn, (g, g), ratio=0.5)
     rows = {
         "int8": lambda: sample(qparams),
         "bf16eps": lambda: sample(params, x0=eps_x),
@@ -329,7 +336,7 @@ def main_control():
         h, method="canny", size=(512, 512))) for h in hint_srcs])
     hint = jnp.asarray(np.repeat(hints, N_SAMPLES // len(hint_srcs), axis=0))
 
-    def sample(p, interval=1, cfg_interval=1, deep_interval=1):
+    def sample(p, interval=1, cfg_interval=1, deep_interval=1, phases=None):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -341,7 +348,7 @@ def main_control():
                     "control": hint},
             steps=50, eta=0.0, self_attn_fn=self_attn_fn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval)
+            deep_interval=deep_interval, phases=phases)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -372,6 +379,11 @@ def main_control():
         "ctl_int8_turbo3_cfg3_deep3": lambda: sample(qparams, interval=3,
                                                      cfg_interval=3,
                                                      deep_interval=3),
+        # phased control (phases ride the cfg-reuse group scan with the
+        # encoder cache, so control residuals compose): k=5 key budget at
+        # the dense-early quality premium measured on the plain path
+        "ctl_int8_ph10x2_40x8": lambda: sample(qparams,
+                                               phases=[(10, 2), (40, 8)]),
     }
     assert set(rows) == set(CTL_ROW_NAMES), "CTL_ROW_NAMES drifted"
     for name in names:
