@@ -92,3 +92,63 @@ def test_control_encoder_propagation_guided_ballpark():
                                 _ci(c, hint * 0.0, 2.0), tables,
                                 encoder_interval=2, cfg_interval=2)
     assert not np.allclose(np.asarray(out2), a)
+
+
+def test_control_phased_scale1_exact():
+    """Phased schedules with a live ControlNet: a single (8, 2) phase must
+    reproduce the uniform turbo2+cfg2+deep2 composition (phases ride the
+    cfg-reuse group scan WITH the encoder+deep caches; control residuals
+    ride the encoder cache) — backs the ctl_int8_ph* gate rows
+    (GATE_SET=control quant_gate)."""
+    params, sampler, tables, c, hint, x0 = _setup(steps=8)
+    ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, hint, 1.0), tables, encoder_interval=2,
+                               cfg_interval=2, deep_interval=2)
+    out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, hint, 1.0), tables,
+                               phases=[(8, 2)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_control_phased_guided_runs():
+    """Guided phased control (the ctl_ph10x2_40x8-shaped schedule scaled to
+    8 steps): finite, hint-sensitive, output-changing vs exact."""
+    params, sampler, tables, c, hint, x0 = _setup(steps=8)
+    exact, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                                 _ci(c, hint, 2.0), tables)
+    out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, hint, 2.0), tables,
+                               phases=[(2, 1), (6, 3)])
+    a = np.asarray(out)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, np.asarray(exact))
+    out2, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                                _ci(c, hint * 0.0, 2.0), tables,
+                                phases=[(2, 1), (6, 3)])
+    assert not np.allclose(np.asarray(out2), a)
+
+
+def test_control_mask_zero_equals_no_hint():
+    """control_mask 0 must reproduce the no-control trajectory exactly (the
+    reference's ccs_zeros pops 0, pfd.py:475-478) and mask 1 the with-hint
+    one — the per-request gating contract behind ZooServer mixed batches,
+    here at the sampler level with a 2-request batch (one on, one off)."""
+    params, sampler, tables, c, hint, x0 = _setup()
+    b2 = lambda t: jnp.concatenate([t, t], axis=0)
+    ci = _ci(b2(c), b2(hint), 2.0)
+    ci["control_mask"] = jnp.asarray([1.0, 0.0])
+    out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), b2(x0), ci,
+                               tables)
+    with_hint, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                                     _ci(c, hint, 2.0), tables)
+    no_hint_ci = _ci(c, hint, 2.0)
+    del no_hint_ci["control"]
+    no_hint, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                                   no_hint_ci, tables)
+    # batch-2 vs batch-1 accumulation differences (XLA fuses per batch
+    # shape) leave ~1e-5 float noise — the batch-separability tolerance
+    np.testing.assert_allclose(np.asarray(out)[:1], np.asarray(with_hint),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out)[1:], np.asarray(no_hint),
+                               rtol=2e-4, atol=2e-5)
