@@ -28,6 +28,8 @@ Variants (select with GATE_VARIANTS=comma-list, default all):
                 DeepCache (ddim.py deep_interval): reuse steps run only
                 the highest-res UNet level, with a fresh shallow encoder
                 (_cfg2_deep2) or fully cached skips (_turbo2_cfg2_deep2)
+  int8_ph<N>x<K>_... — phased schedules (ddim.py phases): dense key steps
+                early, sparse late; same row names as quant_gate.py
 
 GATE_SET=control switches to the ControlNet serving path (BASELINE config
 #3), scored against the torch-with-control cache written by
@@ -310,6 +312,20 @@ def main():
                                     None, 1, 1, "const", [(10, 2), (40, 8)])
     variants["int8_ph5x1_45x5"] = (qparams, self_attn_fn, 1, model,
                                    None, 1, 1, "const", [(5, 1), (45, 5)])
+    # sparser tails toward the 0.95 gate (quant_gate.py carries the same
+    # rows): 9 keys (40x10), 7 keys (40x20), soft-head 7 keys (20x4_30x15)
+    variants["int8_ph10x2_40x8lin"] = (qparams, self_attn_fn, 1, model,
+                                       None, 1, 1, "linear",
+                                       [(10, 2), (40, 8)])
+    variants["int8_ph10x2_40x10"] = (qparams, self_attn_fn, 1, model,
+                                     None, 1, 1, "const",
+                                     [(10, 2), (40, 10)])
+    variants["int8_ph10x2_40x20"] = (qparams, self_attn_fn, 1, model,
+                                     None, 1, 1, "const",
+                                     [(10, 2), (40, 20)])
+    variants["int8_ph20x4_30x15"] = (qparams, self_attn_fn, 1, model,
+                                     None, 1, 1, "const",
+                                     [(20, 4), (30, 15)])
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —
