@@ -326,6 +326,11 @@ def main():
     variants["int8_ph20x4_30x15"] = (qparams, self_attn_fn, 1, model,
                                      None, 1, 1, "const",
                                      [(20, 4), (30, 15)])
+    # phased bf16 rows (b1 latency-mode candidates — no quant error)
+    variants["bf16_ph10x2_40x8"] = (params, self_attn_fn, 1, model,
+                                    None, 1, 1, "const", [(10, 2), (40, 8)])
+    variants["bf16_ph10x2_40x10"] = (params, self_attn_fn, 1, model,
+                                     None, 1, 1, "const", [(10, 2), (40, 10)])
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —

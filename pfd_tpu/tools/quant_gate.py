@@ -76,7 +76,8 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "bf16_turbo3_cfg3_deep3",
              "int8_ph10x2_40x5", "int8_ph10x2_40x8", "int8_ph5x1_45x5",
              "int8_ph10x2_40x8lin", "int8_ph10x2_40x10",
-             "int8_ph10x2_40x20", "int8_ph20x4_30x15")
+             "int8_ph10x2_40x20", "int8_ph20x4_30x15",
+             "bf16_ph10x2_40x8", "bf16_ph10x2_40x10")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
@@ -293,6 +294,13 @@ def main():
         "bf16_turbo3_cfg3_deep3": lambda: sample(params, interval=3,
                                                  cfg_interval=3,
                                                  deep_interval=3),
+        # phased bf16 rows: candidate upgrades for the b1 latency mode
+        # (phases dominate uniform k at equal key budget on the int8 path;
+        # check the same holds without quant error in the mix)
+        "bf16_ph10x2_40x8": lambda: sample(params,
+                                           phases=[(10, 2), (40, 8)]),
+        "bf16_ph10x2_40x10": lambda: sample(params,
+                                            phases=[(10, 2), (40, 10)]),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:
