@@ -90,6 +90,13 @@ def _parse_phases(spec):
             (part.split("x") for part in spec.split(","))]
 
 
+def _ph_suffix(phases, extrapolate="const"):
+    if not phases:
+        return ""
+    return ("_ph" + "-".join(f"{n}x{k}" for n, k in phases)
+            + ("lin" if extrapolate == "linear" else ""))
+
+
 PHASES = _parse_phases(os.environ.get("BENCH_PHASES"))
 if PHASES is not None:
     ENC_INTERVAL = CFG_INTERVAL = DEEP_INTERVAL = 1
@@ -114,7 +121,7 @@ def _attn():
 QUANT = os.environ.get("BENCH_QUANT", "1") == "1"
 
 
-def build(with_control=False):
+def build(with_control=False, quantized=None):
     from pfd_tpu import config, registry
     from pfd_tpu.diffusion.ddim import DDIMSampler
     from pfd_tpu.policy import BF16
@@ -123,7 +130,7 @@ def build(with_control=False):
     cfg = config.model_cfg(name)
     model = registry.get(cfg["type"])(**cfg["args"], policy=BF16)
     params = model.init(jax.random.PRNGKey(0))
-    if QUANT:
+    if QUANT if quantized is None else quantized:
         # int8 serving mode (ops/quant.py; SSIM-gated in tests/test_quant_e2e)
         from pfd_tpu.ops import quant
         params["diffuser"] = quant.quantize_params(params["diffuser"])
@@ -204,8 +211,7 @@ def bench_headline(shared):
                   + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
                   + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                   + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
-                  + ("_ph" + "-".join(f"{n}x{k}" for n, k in PHASES)
-                     if PHASES else "")
+                  + _ph_suffix(PHASES, CFG_EXTRAPOLATE)
                   + (f"_tome{TOME:g}" if TOME > 0 else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
@@ -280,8 +286,7 @@ def bench_controlnet(shared):
     suffix = ((f"_turbo{ctl_enc}" if ctl_enc > 1 else "")
               + (f"_cfg{ctl_cfg}" if ctl_cfg > 1 else "")
               + (f"_deep{ctl_deep}" if ctl_deep > 1 else "")
-              + ("_ph" + "-".join(f"{n}x{k}" for n, k in ctl_ph)
-                 if ctl_ph else ""))
+              + _ph_suffix(ctl_ph))
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
                     f"_controlnet{suffix}",
           "value": round(ips, 4), "unit": "images/sec/chip",
@@ -361,11 +366,59 @@ def bench_dp_serve(shared):
                     + (f"_turbo{ENC_INTERVAL}" if ENC_INTERVAL > 1 else "")
                     + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                     + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
-                    + ("_ph" + "-".join(f"{n}x{k}" for n, k in PHASES)
-                       if PHASES else "")
+                    + _ph_suffix(PHASES, CFG_EXTRAPOLATE)
                     + (f"_tome{TOME:g}" if TOME > 0 else ""),
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})
+
+
+def bench_latency(shared):
+    """BASELINE named metric: p50 end-to-end image->image latency, batch 1.
+
+    The low-latency serving mode is bf16 (b1 int8 loses to b1 bf16 —
+    PARITY round 4) with the gated turbo composition: BENCH_LAT_PHASES
+    phased schedule if set, else uniform turbo3+cfg3+deep3
+    (bf16_turbo3_cfg3_deep3 proxy min 0.98542). BENCH_LAT_EXACT=1
+    restores the exact bf16 sampler."""
+    from pfd_tpu.diffusion.ddim import DDIMSampler  # noqa: F401 (build path)
+
+    exact = os.environ.get("BENCH_LAT_EXACT") == "1"
+    phases = _parse_phases(os.environ.get("BENCH_LAT_PHASES", ""))
+    model, params, sampler = build(with_control=False, quantized=False)
+    attn = _attn()
+
+    def e2e(p, rng, ref_image):
+        c = model.ctx_encode(p, ref_image, "image")
+        u = jnp.zeros_like(c)
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, (1, SIZE // 8, SIZE // 8, 4),
+                              jnp.float32)
+        iv = 1 if (exact or phases) else 3
+        x, _ = sampler.sample_fn(
+            p, rng, x,
+            {"conditioning": c, "unconditional_conditioning": u,
+             "unconditional_guidance_scale": 2.0},
+            shared["tables"], self_attn_fn=attn,
+            encoder_interval=iv, cfg_interval=iv, deep_interval=iv,
+            phases=None if exact else phases)
+        return model.vae_decode(p, x, "image")
+
+    fn = jax.jit(e2e)
+    ref = jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16)
+    _force(fn(params, jax.random.PRNGKey(1), ref))  # compile
+    lats = []
+    for i in range(max(ITERS * 3, 9)):
+        t0 = time.perf_counter()
+        _force(fn(params, jax.random.PRNGKey(2 + i), ref))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    suffix = ("_exact" if exact else
+              (_ph_suffix(phases) if phases else "_turbo3_cfg3_deep3"))
+    emit({"metric": f"{SIZE}x{SIZE}_p50_latency_s_b1_bf16{suffix}",
+          "value": round(p50, 4), "unit": "s/image",
+          "p90": round(lats[(len(lats) * 9) // 10], 4),
+          "vs_baseline": round((1.0 / p50) / 2.0, 4)})
 
 
 def bench_zoo_serve(shared):
@@ -392,10 +445,13 @@ def bench_zoo_serve(shared):
     ctl_enc = _env_int("BENCH_CTL_ENCODER_INTERVAL", 3)
     ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 3)
     ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 3)
+    ctl_ph = _parse_phases(os.environ.get("BENCH_CTL_PHASES"))
+    if ctl_ph is not None:
+        ctl_enc = ctl_cfg = ctl_deep = 1
     server = ZooServer(model, params, zoo, mesh=mesh, steps=STEPS,
                        self_attn_fn=_attn(), encoder_interval=ctl_enc,
                        cfg_interval=ctl_cfg, deep_interval=ctl_deep,
-                       control_turbo=True)
+                       control_turbo=True, phases=ctl_ph)
 
     rng = np.random.default_rng(0)
     b = _env_int("BENCH_DP_BATCH", 8)
@@ -419,7 +475,8 @@ def bench_zoo_serve(shared):
     ips = b / dt
     suffix = ((f"_turbo{ctl_enc}" if ctl_enc > 1 else "")
               + (f"_cfg{ctl_cfg}" if ctl_cfg > 1 else "")
-              + (f"_deep{ctl_deep}" if ctl_deep > 1 else ""))
+              + (f"_deep{ctl_deep}" if ctl_deep > 1 else "")
+              + _ph_suffix(ctl_ph))
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_mixed_ckpt_ctl"
                     f"_batch{b}{suffix}",
           "value": round(ips, 4), "unit": "images/sec/chip",
@@ -490,12 +547,16 @@ def main():
     if which == "zoo_serve":
         bench_zoo_serve(shared)
         return
+    if which == "latency":
+        bench_latency(shared)
+        return
     if which == "all":
         bench_zoo_swap(shared)
         bench_preprocess(shared)
         bench_dp_serve(shared)
         bench_controlnet(shared)
         bench_zoo_serve(shared)
+        bench_latency(shared)
     emit(shared["headline"])  # headline LAST: the driver parses the final line
 
 

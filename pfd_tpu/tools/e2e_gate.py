@@ -140,7 +140,8 @@ def main_control():
     hint = jnp.asarray(rng.random((1, 3, 512, 512), dtype=np.float32)
                        .transpose(0, 2, 3, 1))
 
-    def run(p, attn, interval, m=model, cfg_interval=1, deep_interval=1):
+    def run(p, attn, interval, m=model, cfg_interval=1, deep_interval=1,
+            phases=None):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -150,7 +151,7 @@ def main_control():
                     "unconditional_guidance_scale": 2.0, "control": hint},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval)
+            deep_interval=deep_interval, phases=phases)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     variants = {
@@ -169,6 +170,13 @@ def main_control():
         "ctl_int8_turbo3_cfg3_deep3": lambda: run(qparams, self_attn_fn, 3,
                                                   cfg_interval=3,
                                                   deep_interval=3),
+        # phased control schedules (quant_gate.py carries the proxy twins)
+        "ctl_int8_ph10x2_40x8": lambda: run(
+            qparams, self_attn_fn, 1, phases=[(10, 2), (40, 8)]),
+        "ctl_int8_ph10x2_40x10": lambda: run(
+            qparams, self_attn_fn, 1, phases=[(10, 2), (40, 10)]),
+        "ctl_int8_ph10x2_40x20": lambda: run(
+            qparams, self_attn_fn, 1, phases=[(10, 2), (40, 20)]),
     }
     sel = os.environ.get("GATE_VARIANTS")
     names = sel.split(",") if sel else list(variants)
@@ -326,11 +334,20 @@ def main():
     variants["int8_ph20x4_30x15"] = (qparams, self_attn_fn, 1, model,
                                      None, 1, 1, "const",
                                      [(20, 4), (30, 15)])
+    # round-5 stretch: 7-key lin upgrade and the 6-key single-tail-group
+    variants["int8_ph10x2_40x20lin"] = (qparams, self_attn_fn, 1, model,
+                                        None, 1, 1, "linear",
+                                        [(10, 2), (40, 20)])
+    variants["int8_ph10x2_40x40"] = (qparams, self_attn_fn, 1, model,
+                                     None, 1, 1, "const",
+                                     [(10, 2), (40, 40)])
     # phased bf16 rows (b1 latency-mode candidates — no quant error)
     variants["bf16_ph10x2_40x8"] = (params, self_attn_fn, 1, model,
                                     None, 1, 1, "const", [(10, 2), (40, 8)])
     variants["bf16_ph10x2_40x10"] = (params, self_attn_fn, 1, model,
                                      None, 1, 1, "const", [(10, 2), (40, 10)])
+    variants["bf16_ph10x2_40x20"] = (params, self_attn_fn, 1, model,
+                                     None, 1, 1, "const", [(10, 2), (40, 20)])
     variants["fp32"] = (params, None, 1, model32, None)
     variants["fp32_eps"] = (params, None, 1, model32, eps_x)
     # precision-isolation ladder (used if fp32_eps does NOT collapse —

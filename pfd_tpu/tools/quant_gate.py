@@ -77,14 +77,16 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_ph10x2_40x5", "int8_ph10x2_40x8", "int8_ph5x1_45x5",
              "int8_ph10x2_40x8lin", "int8_ph10x2_40x10",
              "int8_ph10x2_40x20", "int8_ph20x4_30x15",
-             "bf16_ph10x2_40x8", "bf16_ph10x2_40x10")
+             "int8_ph10x2_40x20lin", "int8_ph10x2_40x40",
+             "bf16_ph10x2_40x8", "bf16_ph10x2_40x10", "bf16_ph10x2_40x20")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
 # deep caching under control requires the encoder cache too
 CTL_ROW_NAMES = ("ctl_int8", "ctl_int8_cfg2", "ctl_int8_turbo2_cfg2",
                  "ctl_int8_turbo2_cfg2_deep2", "ctl_int8_turbo3_cfg3_deep3",
-                 "ctl_int8_ph10x2_40x8")
+                 "ctl_int8_ph10x2_40x8", "ctl_int8_ph10x2_40x10",
+                 "ctl_int8_ph10x2_40x20")
 
 
 N_SAMPLES = int(os.environ.get("GATE_SAMPLES", "8"))
@@ -288,6 +290,14 @@ def main():
                                             phases=[(10, 2), (40, 20)]),
         "int8_ph20x4_30x15": lambda: sample(qparams,
                                             phases=[(20, 4), (30, 15)]),
+        # round-5 stretch: ph10x2_40x20 measured 0.98263 min-over-8 with 7
+        # keys, so the tail can go to ONE key group (6 keys total) and the
+        # lin upgrade is free on the 7-key schedule
+        "int8_ph10x2_40x20lin": lambda: sample(qparams,
+                                               phases=[(10, 2), (40, 20)],
+                                               extrap="linear"),
+        "int8_ph10x2_40x40": lambda: sample(qparams,
+                                            phases=[(10, 2), (40, 40)]),
         # bf16 turbo composition (no int8): isolates the turbo error from
         # the quant error — gates the latency-oriented b1 bf16 serving mode
         # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)
@@ -301,6 +311,8 @@ def main():
                                            phases=[(10, 2), (40, 8)]),
         "bf16_ph10x2_40x10": lambda: sample(params,
                                             phases=[(10, 2), (40, 10)]),
+        "bf16_ph10x2_40x20": lambda: sample(params,
+                                            phases=[(10, 2), (40, 20)]),
     }
     assert set(rows) == set(ROW_NAMES), "ROW_NAMES drifted from rows{}"
     for name in names:
@@ -392,6 +404,14 @@ def main_control():
         # the dense-early quality premium measured on the plain path
         "ctl_int8_ph10x2_40x8": lambda: sample(qparams,
                                                phases=[(10, 2), (40, 8)]),
+        # sparser control tails: ctl ph10x2_40x8 held 0.99042 min-over-8
+        # (control quality degrades SLOWER than the plain path under
+        # phases — the hint pins the trajectory), so probe toward the
+        # same 7-key budget that passed plain
+        "ctl_int8_ph10x2_40x10": lambda: sample(qparams,
+                                                phases=[(10, 2), (40, 10)]),
+        "ctl_int8_ph10x2_40x20": lambda: sample(qparams,
+                                                phases=[(10, 2), (40, 20)]),
     }
     assert set(rows) == set(CTL_ROW_NAMES), "CTL_ROW_NAMES drifted"
     for name in names:
