@@ -97,6 +97,28 @@ def test_phases_trailing_partial_group_inside_phase():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_phases_single_tail_group():
+    """The ph10x2_40x40 shape at test scale: the whole tail phase is ONE
+    reuse group. [(8,8)] must equal uniform k=8 (group-boundary identity
+    with a single group); [(2,1),(6,6)] must be finite + deterministic."""
+    params, sampler, tables, c, x0 = _setup()
+    ref, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, encoder_interval=8,
+                               cfg_interval=8, deep_interval=8)
+    out, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                               _ci(c, 2.0), tables, phases=[(8, 8)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+    kw = dict(phases=[(2, 1), (6, 6)])
+    a, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                             _ci(c, 2.0), tables, **kw)
+    b, _ = sampler.sample_fn(params, jax.random.PRNGKey(2), x0,
+                             _ci(c, 2.0), tables, **kw)
+    an = np.asarray(a)
+    assert np.isfinite(an).all()
+    np.testing.assert_array_equal(an, np.asarray(b))
+
+
 def test_phases_validation_errors():
     params, sampler, tables, c, x0 = _setup()
     with pytest.raises(ValueError):  # wrong total
