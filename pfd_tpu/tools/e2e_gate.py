@@ -341,6 +341,13 @@ def main():
     variants["int8_ph10x2_40x40"] = (qparams, self_attn_fn, 1, model,
                                      None, 1, 1, "const",
                                      [(10, 2), (40, 40)])
+    # head-budget probes (6 and 5 keys, k=2 density kept on the head)
+    variants["int8_ph8x2_42x21"] = (qparams, self_attn_fn, 1, model,
+                                    None, 1, 1, "const",
+                                    [(8, 2), (42, 21)])
+    variants["int8_ph6x2_44x22"] = (qparams, self_attn_fn, 1, model,
+                                    None, 1, 1, "const",
+                                    [(6, 2), (44, 22)])
     # phased bf16 rows (b1 latency-mode candidates — no quant error)
     variants["bf16_ph10x2_40x8"] = (params, self_attn_fn, 1, model,
                                     None, 1, 1, "const", [(10, 2), (40, 8)])

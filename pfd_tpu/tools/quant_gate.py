@@ -78,6 +78,7 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_ph10x2_40x8lin", "int8_ph10x2_40x10",
              "int8_ph10x2_40x20", "int8_ph20x4_30x15",
              "int8_ph10x2_40x20lin", "int8_ph10x2_40x40",
+             "int8_ph8x2_42x21", "int8_ph6x2_44x22",
              "bf16_ph10x2_40x8", "bf16_ph10x2_40x10", "bf16_ph10x2_40x20")
 
 
@@ -298,6 +299,14 @@ def main():
                                                extrap="linear"),
         "int8_ph10x2_40x40": lambda: sample(qparams,
                                             phases=[(10, 2), (40, 40)]),
+        # head-budget probes: the k=2 head is 5 of the 7 keys at 40x20
+        # (a third of the serving cost) — shave it while keeping k=2
+        # density on the MOST guidance-bent steps: 6 keys (8x2 head) and
+        # 5 keys (6x2 head), tails at one-group sparsity
+        "int8_ph8x2_42x21": lambda: sample(qparams,
+                                           phases=[(8, 2), (42, 21)]),
+        "int8_ph6x2_44x22": lambda: sample(qparams,
+                                           phases=[(6, 2), (44, 22)]),
         # bf16 turbo composition (no int8): isolates the turbo error from
         # the quant error — gates the latency-oriented b1 bf16 serving mode
         # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)
