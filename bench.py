@@ -36,6 +36,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from pfd_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def _env_int(name, default):
     return int(os.environ.get(name, str(default)))

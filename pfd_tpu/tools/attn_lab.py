@@ -16,8 +16,12 @@ from __future__ import annotations
 import json
 import os
 
+from pfd_tpu.utils.compile_cache import enable_compile_cache
+
 
 import jax
+
+enable_compile_cache()
 import jax.numpy as jnp
 
 from pfd_tpu.ops import flash_attention as fa

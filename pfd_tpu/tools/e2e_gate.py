@@ -48,10 +48,14 @@ from __future__ import annotations
 
 import json
 import os
+
+from pfd_tpu.utils.compile_cache import enable_compile_cache
 import sys
 
 import numpy as np
 import jax
+
+enable_compile_cache()
 import jax.numpy as jnp
 
 from pfd_tpu import config, registry

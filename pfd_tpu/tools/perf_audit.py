@@ -22,9 +22,13 @@ from __future__ import annotations
 
 import json
 import os
+
+from pfd_tpu.utils.compile_cache import enable_compile_cache
 import time
 
 import jax
+
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import json
 import os
+
+from pfd_tpu.utils.compile_cache import enable_compile_cache
 import time
 
 import numpy as np
@@ -35,6 +37,8 @@ def main():
     iters = int(os.environ.get("VLAB_ITERS", "10"))
 
     import jax
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from pfd_tpu import config, registry
