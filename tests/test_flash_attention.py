@@ -101,3 +101,39 @@ def test_flash_int8_close_to_float(s, d, mode):
     got128 = flash_attention(q128, q128, q128, block_q=128, block_k=128,
                              quant=True)
     assert np.isfinite(np.asarray(got128)).all()
+
+
+def test_flash_768sq_serving_shape():
+    """The 768^2 ds1 serving shape (s = (768/8)^2 = 9216 tokens, d=40) at the
+    serving block sizes — backs the resolution-range contract
+    (/root/reference/app.py:197-207: 512-1536 px) beyond the 1024-token
+    envelope the small cases cover. pad_d=False is the d<=64 serving default
+    (PARITY pad_d sweep)."""
+    key = jax.random.PRNGKey(6)
+    q = jax.random.normal(key, (1, 2, 9216, 40), jnp.float32)
+    want = nn.dot_product_attention(q, q, q)
+    got = flash_attention(q, q, q, block_q=1024, block_k=1024, pad_d=False)
+    assert_close(got, want, rtol=2e-3, atol=2e-4, name="flash s=9216 d=40")
+
+
+@pytest.mark.slow
+def test_flash_1536sq_envelope():
+    """The claimed 36,864-token envelope (1536^2 / 8^2 ds1 tokens): flash at
+    serving blocks vs a streamed float64 online-softmax reference (the plain
+    XLA reference would need a 5.4 GB logits tensor)."""
+    rng = np.random.default_rng(7)
+    s, d = 36864, 40
+    q = rng.standard_normal((1, 1, s, d), dtype=np.float32)
+    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(q),
+                                     jnp.asarray(q),
+                                     block_q=1024, block_k=1024, pad_d=False))
+    qf = q[0, 0].astype(np.float64) * (d ** -0.5)
+    kf = q[0, 0].astype(np.float64)
+    want = np.empty((s, d))
+    for i in range(0, s, 2304):
+        logits = qf[i:i + 2304] @ kf.T
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        want[i:i + 2304] = (p @ kf) / p.sum(axis=1, keepdims=True)
+    err = np.abs(got[0, 0] - want)
+    assert err.max() < 2e-4, err.max()
