@@ -16,15 +16,18 @@ one JSON line each, headline LAST (the driver parses the final line):
                 per-sample contexts): the per-chip share of the 8-way DP config
 
 Env knobs: BENCH_BATCH/STEPS/SIZE/FLASH/ENCODER_INTERVAL/CFG_INTERVAL/
-DEEP_INTERVAL/ITERS/CONFIGS/QUANT/TOME. Default serving config (round 4):
-batch 8, int8 convs + encoder propagation k=3 + CFG-delta reuse k=3 +
-DeepCache k=3 — SSIM-gated DIRECTLY vs torch-fp32 at the 512^2/DDIM-50
-operating point (tools/e2e_gate.py int8_turbo3_cfg3_deep3 = 0.99898,
-gate >= 0.95) AND under the sensitive fan-in proxy vs the exact bf16
-sampler (0.98177, tools/quant_gate.py). The quality-conservative config
-is one knob away: BENCH_{ENCODER,CFG,DEEP}_INTERVAL=2 (1.93 img/s,
-proxy 0.99070); BENCH_QUANT=0 + intervals=1 restore the exact bf16
-sampler.
+DEEP_INTERVAL/ITERS/CONFIGS/QUANT/TOME/PHASES. Default serving config
+(round 5): batch 8, int8 convs + the PHASED turbo schedule "8x2,42x21"
+(8 steps at interval 2 then 42 at interval 21 — encoder propagation,
+CFG-delta reuse and DeepCache all keyed on the same steps) — SSIM-gated
+DIRECTLY vs torch-fp32 at the 512^2/DDIM-50 operating point
+(tools/e2e_gate.py, gate >= 0.95) AND min-over-8-samples under the
+sensitive fan-in proxy vs the exact bf16 sampler (0.97386,
+tools/quant_gate.py). Quality-conservative alternatives:
+BENCH_PHASES=10x2,40x10 (proxy min 0.98760, 3.35 img/s) or the round-4
+uniform BENCH_{ENCODER,CFG,DEEP}_INTERVAL=3 (proxy min 0.98059,
+2.42 img/s); BENCH_QUANT=0 + BENCH_PHASES="" + intervals=1 restore the
+exact bf16 sampler.
 """
 
 from __future__ import annotations
@@ -85,6 +88,15 @@ DEEP_INTERVAL = _env_int("BENCH_DEEP_INTERVAL", 3)
 # phases=...) — the first 10 steps at maximal-turbo interval 2, the last 40
 # at interval 5 (kx1 phases run the exact sampler). Overrides the uniform
 # interval knobs (they are forced to 1); metric suffix _ph10x2-40x5.
+#
+# DEFAULT (round-5 promotion): "8x2,42x21" — 6 key steps, dense head where
+# guidance bends the trajectory most. Gated on BOTH regimes: fan-in proxy
+# min-over-8 0.97386 (tools/quant_gate.py int8_ph8x2_42x21) and direct vs
+# torch-fp32 (tools/e2e_gate.py), gate >= 0.95; 3.8947 img/s/chip measured
+# (1.95x the 2.0 target) vs 2.42 for uniform turbo3. BENCH_PHASES="" (or
+# setting any BENCH_*_INTERVAL knob) restores the uniform-interval path;
+# quality-conservative phased alternative: "10x2,40x10" (proxy min
+# 0.98760, 3.3487 img/s).
 
 
 def _parse_phases(spec):
@@ -101,12 +113,34 @@ def _ph_suffix(phases, extrapolate="const"):
             + ("lin" if extrapolate == "linear" else ""))
 
 
-PHASES = _parse_phases(os.environ.get("BENCH_PHASES"))
+_UNIFORM_ENV = any(f"BENCH_{k}_INTERVAL" in os.environ
+                   for k in ("ENCODER", "CFG", "DEEP"))
+# the default schedule sums to 50 steps — fall back to uniform intervals
+# when BENCH_STEPS is changed without an explicit BENCH_PHASES
+PHASES = _parse_phases(os.environ.get(
+    "BENCH_PHASES",
+    "" if (_UNIFORM_ENV or STEPS != 50) else "8x2,42x21"))
 if PHASES is not None:
     ENC_INTERVAL = CFG_INTERVAL = DEEP_INTERVAL = 1
 
 
 TOME = float(os.environ.get("BENCH_TOME", "0"))
+
+
+def _ctl_phases():
+    """Phased control schedule (BENCH_CTL_PHASES; rides the encoder cache, so
+    control residuals compose). DEFAULT (round-5 promotion): "10x2,40x20" —
+    gated min-over-8 0.98612 under the control fan-in proxy
+    (GATE_SET=control tools/quant_gate.py) + direct vs torch-with-control
+    (GATE_SET=control tools/e2e_gate.py). The hint pins the trajectory, so
+    control degrades SLOWER than the plain path at equal sparsity (7-key
+    0.98612 vs the promoted 13-key uniform turbo3's 0.98406). "" (or any
+    BENCH_CTL_*_INTERVAL knob) restores the uniform-interval control path."""
+    uniform = any(f"BENCH_CTL_{k}_INTERVAL" in os.environ
+                  for k in ("ENCODER", "CFG", "DEEP"))
+    return _parse_phases(os.environ.get(
+        "BENCH_CTL_PHASES",
+        "" if (uniform or STEPS != 50) else "10x2,40x20"))
 
 
 def _attn():
@@ -123,6 +157,21 @@ def _attn():
 
 
 QUANT = os.environ.get("BENCH_QUANT", "1") == "1"
+
+# BENCH_KVPOOL=2: KV-pooled self-attention on turbo REUSE steps only
+# (ops/kvpool.py — key steps keep exact attention). Output-changing,
+# opt-in pending its gate rows (quant_gate/e2e_gate `_kv2` variants).
+KVPOOL = _env_int("BENCH_KVPOOL", 0)
+
+
+def _reuse_attn(attn, size):
+    if KVPOOL <= 1:
+        return None
+    from pfd_tpu.ops.kvpool import make_kvpool_attn
+    if attn is None:
+        from pfd_tpu.ops import nn
+        attn = nn.dot_product_attention
+    return make_kvpool_attn(attn, (size // 8, size // 8), pool=KVPOOL)
 
 
 def build(with_control=False, quantized=None):
@@ -172,7 +221,9 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
                                  if with_control else DEEP_INTERVAL,
                                  cfg_extrapolate="const" if with_control
                                  else CFG_EXTRAPOLATE,
-                                 phases=ctl_phases if with_control else PHASES)
+                                 phases=ctl_phases if with_control else PHASES,
+                                 reuse_self_attn_fn=None if with_control
+                                 else _reuse_attn(attn, SIZE))
         return model.vae_decode(params, x, "image")
 
     return jax.jit(e2e)
@@ -216,6 +267,7 @@ def bench_headline(shared):
                   + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                   + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
                   + _ph_suffix(PHASES, CFG_EXTRAPOLATE)
+                  + (f"_kv{KVPOOL}" if KVPOOL > 1 else "")
                   + (f"_tome{TOME:g}" if TOME > 0 else ""),
         "value": round(ips, 4),
         "unit": "images/sec/chip",
@@ -276,9 +328,7 @@ def bench_controlnet(shared):
                        ENC_INTERVAL if _ENC_ENV else 3)
     ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 3)
     ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 3)
-    # BENCH_CTL_PHASES="10x2,40x8": phased control schedule (rides the
-    # encoder cache, so residuals compose); overrides the interval knobs
-    ctl_ph = _parse_phases(os.environ.get("BENCH_CTL_PHASES"))
+    ctl_ph = _ctl_phases()
     if ctl_ph is not None:
         ctl_enc = ctl_cfg = ctl_deep = 1
     fn = make_e2e(model, sampler, shared["tables"], batch=BATCH,
@@ -371,6 +421,7 @@ def bench_dp_serve(shared):
                     + (f"_cfg{CFG_INTERVAL}{'lin' if CFG_EXTRAPOLATE == 'linear' else ''}" if CFG_INTERVAL > 1 else "")
                     + (f"_deep{DEEP_INTERVAL}" if DEEP_INTERVAL > 1 else "")
                     + _ph_suffix(PHASES, CFG_EXTRAPOLATE)
+                    + (f"_kv{KVPOOL}" if KVPOOL > 1 else "")
                     + (f"_tome{TOME:g}" if TOME > 0 else ""),
           "value": round(ips, 4), "unit": "images/sec/chip",
           "vs_baseline": round(ips / 2.0, 4)})
@@ -380,14 +431,17 @@ def bench_latency(shared):
     """BASELINE named metric: p50 end-to-end image->image latency, batch 1.
 
     The low-latency serving mode is bf16 (b1 int8 loses to b1 bf16 —
-    PARITY round 4) with the gated turbo composition: BENCH_LAT_PHASES
-    phased schedule if set, else uniform turbo3+cfg3+deep3
-    (bf16_turbo3_cfg3_deep3 proxy min 0.98542). BENCH_LAT_EXACT=1
-    restores the exact bf16 sampler."""
+    PARITY round 4) with the gated turbo composition. DEFAULT (round-5
+    promotion): phased "10x2,40x8" (bf16_ph10x2_40x8 proxy min-over-8
+    0.99321 — the bf16 phased schedule out-scores uniform turbo3's
+    0.98542 at similar cost). BENCH_LAT_PHASES overrides ("" selects
+    uniform turbo3+cfg3+deep3); BENCH_LAT_EXACT=1 restores the exact
+    bf16 sampler."""
     from pfd_tpu.diffusion.ddim import DDIMSampler  # noqa: F401 (build path)
 
     exact = os.environ.get("BENCH_LAT_EXACT") == "1"
-    phases = _parse_phases(os.environ.get("BENCH_LAT_PHASES", ""))
+    phases = _parse_phases(os.environ.get(
+        "BENCH_LAT_PHASES", "10x2,40x8" if STEPS == 50 else ""))
     model, params, sampler = build(with_control=False, quantized=False)
     attn = _attn()
 
@@ -449,7 +503,7 @@ def bench_zoo_serve(shared):
     ctl_enc = _env_int("BENCH_CTL_ENCODER_INTERVAL", 3)
     ctl_cfg = _env_int("BENCH_CTL_CFG_INTERVAL", 3)
     ctl_deep = _env_int("BENCH_CTL_DEEP_INTERVAL", 3)
-    ctl_ph = _parse_phases(os.environ.get("BENCH_CTL_PHASES"))
+    ctl_ph = _ctl_phases()
     if ctl_ph is not None:
         ctl_enc = ctl_cfg = ctl_deep = 1
     server = ZooServer(model, params, zoo, mesh=mesh, steps=STEPS,

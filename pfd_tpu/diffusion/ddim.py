@@ -34,7 +34,8 @@ class DDIMSampler:
     def sample(self, params, rng, shape, x_info, c_info, steps=50, eta=0.0,
                temperature=1.0, x_type="image", c_type="image",
                self_attn_fn=None, encoder_interval=1, cfg_interval=1,
-               deep_interval=1, cfg_extrapolate="const", phases=None):
+               deep_interval=1, cfg_extrapolate="const", phases=None,
+               reuse_self_attn_fn=None):
         """Eager-friendly entry; mirrors reference sample() (ddim.py:58-79).
 
         x_info: optional dict with 'xt' (start latent) or
@@ -68,7 +69,8 @@ class DDIMSampler:
                               cfg_interval=cfg_interval,
                               deep_interval=deep_interval,
                               cfg_extrapolate=cfg_extrapolate,
-                              phases=phases)
+                              phases=phases,
+                              reuse_self_attn_fn=reuse_self_attn_fn)
 
     def sample_multicontext(self, params, rng, shape, x_info, c_info_list,
                             steps=50, eta=0.0, temperature=1.0,
@@ -141,7 +143,7 @@ class DDIMSampler:
                   temperature=1.0, noise_dropout=0.0, x_type="image",
                   c_type="image", self_attn_fn=None, encoder_interval=1,
                   cfg_interval=1, deep_interval=1, cfg_extrapolate="const",
-                  phases=None):
+                  phases=None, reuse_self_attn_fn=None):
         """Pure scan over DDIM steps (jit-able; static: tables, n_steps, shapes).
 
         encoder_interval > 1 enables encoder propagation (Faster Diffusion,
@@ -195,7 +197,13 @@ class DDIMSampler:
         (arXiv:2312.00858 §4.2 observes non-uniform caching beats uniform
         at equal cost): denser key steps early buy quality where reuse
         error is largest, letting the tail run sparser for the same total
-        key-step budget."""
+        key-step budget.
+
+        reuse_self_attn_fn, if given, replaces self_attn_fn for the model
+        calls on REUSE steps only (key steps keep the exact attention) —
+        the hook for KV-pooled reuse attention (ops/kvpool.py). Requires
+        the cfg-reuse group scan (cfg_interval > 1 or phases); opt-in and
+        output-changing, SSIM-gated like the other turbos."""
         model = self.model
         cond = c_info["conditioning"]
         uncond = c_info.get("unconditional_conditioning")
@@ -356,7 +364,8 @@ class DDIMSampler:
                         c_type=c_type, self_attn_fn=self_attn_fn,
                         cfg_interval=k_p, use_enc_cache=True, use_deep=True,
                         extrapolate=cfg_extrapolate, with_key=True,
-                        control_mask=control_mask)
+                        control_mask=control_mask,
+                        reuse_self_attn_fn=reuse_self_attn_fn)
             return x_cur, {"pred_x0": last_px0}
 
         if deep_interval > 1:
@@ -373,6 +382,12 @@ class DDIMSampler:
                     "(encoder_interval == deep_interval): fresh shallow "
                     "skips would need the full ControlNet forward")
 
+        if reuse_self_attn_fn is not None and not (cfg_interval > 1
+                                                   and use_cfg):
+            raise ValueError(
+                "reuse_self_attn_fn applies to cfg-reuse steps: it requires "
+                "CFG and cfg_interval > 1 (or a phased schedule)")
+
         if cfg_interval > 1 and use_cfg:
             if encoder_interval not in (1, cfg_interval):
                 raise ValueError(
@@ -385,7 +400,8 @@ class DDIMSampler:
                 self_attn_fn=self_attn_fn, cfg_interval=cfg_interval,
                 use_enc_cache=encoder_interval > 1,
                 use_deep=deep_interval > 1,
-                extrapolate=cfg_extrapolate, control_mask=control_mask)
+                extrapolate=cfg_extrapolate, control_mask=control_mask,
+                reuse_self_attn_fn=reuse_self_attn_fn)
 
         if encoder_interval <= 1:
             def step(carry, inp):
@@ -427,7 +443,8 @@ class DDIMSampler:
                              control, control_embed, x_type, c_type,
                              self_attn_fn, cfg_interval, use_enc_cache,
                              use_deep=False, extrapolate="const",
-                             with_key=False, control_mask=None):
+                             with_key=False, control_mask=None,
+                             reuse_self_attn_fn=None):
         """CFG-delta-reuse scan (see sample_fn docstring). The step loop is a
         scan over GROUPS of cfg_interval steps — group step 0 runs the full
         CFG-doubled model (refreshing the guidance delta, the encoder cache
@@ -485,6 +502,11 @@ class DDIMSampler:
             x_prev, key, px0 = ddim_update(xt, key, row, e_uc + scale * delta)
             return x_prev, key, px0, delta, cache, deep
 
+        # reuse steps may run a cheaper self-attention (KV pooling,
+        # ops/kvpool.py) — key steps above always use the exact fn
+        r_attn = reuse_self_attn_fn if reuse_self_attn_fn is not None \
+            else self_attn_fn
+
         def reuse_step(xt, key, row, delta, cache, deep):
             ts = jnp.full((b,), row[0].astype(jnp.int32), jnp.int32)
             x_in, t_in, ci = cond_inputs(xt, ts)
@@ -495,18 +517,18 @@ class DDIMSampler:
                 else:
                     hs_sh = model.apply_model_encoder_shallow(
                         params, {"type": x_type, "x": x_in}, t_in, ci,
-                        self_attn_fn=self_attn_fn)
+                        self_attn_fn=r_attn)
                 e_c = model.apply_model_decoder_shallow(
                     params, deep, hs_sh, t_in, ci, x_type=x_type,
-                    self_attn_fn=self_attn_fn)
+                    self_attn_fn=r_attn)
             elif use_enc_cache:
                 ch, chs = jax.tree.map(lambda a: a[b:], cache)  # cond half
                 e_c = model.apply_model_decoder(
                     params, ch, chs, t_in, ci, x_type=x_type,
-                    self_attn_fn=self_attn_fn)
+                    self_attn_fn=r_attn)
             else:
                 e_c = model.apply_model(params, {"type": x_type, "x": x_in},
-                                        t_in, ci, self_attn_fn=self_attn_fn)
+                                        t_in, ci, self_attn_fn=r_attn)
             e_t = e_c.astype(jnp.float32) + (scale - 1.0) * delta
             return ddim_update(xt, key, row, e_t)
 

@@ -45,7 +45,7 @@ class PromptFreeDiffusionPipeline:
                  with_control=True, self_attn_fn=None, config_override=None,
                  encoder_interval=1, quantized=False, tome_ratio=0.0,
                  cfg_interval=1, deep_interval=1, control_turbo=False,
-                 cfg_extrapolate="const", phases=None):
+                 cfg_extrapolate="const", phases=None, kv_pool=0):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
@@ -61,6 +61,10 @@ class PromptFreeDiffusionPipeline:
         # >1: DeepCache (ddim.py deep_interval) — reuse steps run only the
         # highest-resolution UNet level; requires cfg_interval == deep_interval
         self.deep_interval = deep_interval
+        # >1: KV-pooled self-attention on turbo REUSE steps (ops/kvpool.py)
+        # — key steps keep exact attention; requires cfg_interval > 1 or
+        # phases. Output-changing, SSIM-gated (`_kv2` gate rows).
+        self.kv_pool = kv_pool
         # [(n, k), ...]: phased turbo schedule (ddim.py sample_fn phases
         # docstring) — dense key steps early, sparse late; replaces the
         # uniform interval knobs (they must stay 1), sum(n) == ddim_steps
@@ -235,12 +239,23 @@ class PromptFreeDiffusionPipeline:
                 cfg_iv = 1 if exact_ctl else self.cfg_interval
                 deep_iv = 1 if exact_ctl else self.deep_interval
                 ph = None if exact_ctl else self.phases
+                r_attn = None
+                if self.kv_pool > 1 and not exact_ctl:
+                    from pfd_tpu.ops import nn as _nn
+                    from pfd_tpu.ops.kvpool import make_kvpool_attn
+                    inner = attn or (
+                        lambda q, k, v: _nn.dot_product_attention(
+                            q, k, v,
+                            softmax_dtype=self.policy.softmax_dtype))
+                    r_attn = make_kvpool_attn(inner, (h // f, w // f),
+                                              pool=self.kv_pool)
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,
                     encoder_interval=interval, cfg_interval=cfg_iv,
                     deep_interval=deep_iv,
-                    cfg_extrapolate=self.cfg_extrapolate, phases=ph)
+                    cfg_extrapolate=self.cfg_extrapolate, phases=ph,
+                    reuse_self_attn_fn=r_attn)
                 return self.net.vae_decode(params, x, "image")
 
             self._jit_cache[key] = jax.jit(fn)

@@ -250,7 +250,7 @@ def main():
           flush=True)
 
     def run(p, attn, interval, m=model, x0=None, cfg_interval=1,
-            deep_interval=1, extrap="const", phases=None):
+            deep_interval=1, extrap="const", phases=None, reuse_attn=None):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -261,13 +261,15 @@ def main():
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
             deep_interval=deep_interval, cfg_extrapolate=extrap,
-            phases=phases)
+            phases=phases, reuse_self_attn_fn=reuse_attn)
         return np.asarray(m.vae_decode(p, x, "image"))
 
     from pfd_tpu.ops.tome import make_tome_attn
+    from pfd_tpu.ops.kvpool import make_kvpool_attn
 
     tome5 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)
     tome3 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)
+    kv2 = make_kvpool_attn(self_attn_fn, (64, 64), pool=2)
     variants = {
         "bf16": (params, self_attn_fn, 1),
         "int8": (qparams, self_attn_fn, 1),
@@ -352,6 +354,13 @@ def main():
     variants["int8_ph6x2_44x22"] = (qparams, self_attn_fn, 1, model,
                                     None, 1, 1, "const",
                                     [(6, 2), (44, 22)])
+    # KV-pooled reuse-step attention (ops/kvpool.py) on the phased schedules
+    variants["int8_ph8x2_42x21_kv2"] = (qparams, self_attn_fn, 1, model,
+                                        None, 1, 1, "const",
+                                        [(8, 2), (42, 21)], kv2)
+    variants["int8_ph10x2_40x10_kv2"] = (qparams, self_attn_fn, 1, model,
+                                         None, 1, 1, "const",
+                                         [(10, 2), (40, 10)], kv2)
     # phased bf16 rows (b1 latency-mode candidates — no quant error)
     variants["bf16_ph10x2_40x8"] = (params, self_attn_fn, 1, model,
                                     None, 1, 1, "const", [(10, 2), (40, 8)])
@@ -380,8 +389,10 @@ def main():
         deep_iv = rest[3] if len(rest) > 3 else 1
         extrap = rest[4] if len(rest) > 4 else "const"
         phases = rest[5] if len(rest) > 5 else None
+        reuse_attn = rest[6] if len(rest) > 6 else None
         img = run(p, attn, interval, m=m, x0=x0, cfg_interval=cfg_iv,
-                  deep_interval=deep_iv, extrap=extrap, phases=phases)
+                  deep_interval=deep_iv, extrap=extrap, phases=phases,
+                  reuse_attn=reuse_attn)
         images[name] = img
         s = ssim(np.clip(img[0], 0, 1), np.clip(img_ref[0], 0, 1),
                  data_range=1.0)

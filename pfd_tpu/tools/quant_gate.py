@@ -83,7 +83,8 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_ph10x2_40x20", "int8_ph20x4_30x15",
              "int8_ph10x2_40x20lin", "int8_ph10x2_40x40",
              "int8_ph8x2_42x21", "int8_ph6x2_44x22",
-             "bf16_ph10x2_40x8", "bf16_ph10x2_40x10", "bf16_ph10x2_40x20")
+             "bf16_ph10x2_40x8", "bf16_ph10x2_40x10", "bf16_ph10x2_40x20",
+             "int8_ph8x2_42x21_kv2", "int8_ph10x2_40x10_kv2")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
@@ -164,7 +165,8 @@ def main():
     x_start = jnp.asarray(x_np)
 
     def sample(p, attn=self_attn_fn, interval=1, x0=None, cfg_interval=1,
-               deep_interval=1, extrap="const", phases=None):
+               deep_interval=1, extrap="const", phases=None,
+               reuse_attn=None):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -176,7 +178,7 @@ def main():
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
             deep_interval=deep_interval, cfg_extrapolate=extrap,
-            phases=phases)
+            phases=phases, reuse_self_attn_fn=reuse_attn)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -209,6 +211,8 @@ def main():
         jnp.float32)
     tome3 = make_tome_attn(self_attn_fn, (g, g), ratio=0.25)
     tome5 = make_tome_attn(self_attn_fn, (g, g), ratio=0.5)
+    from pfd_tpu.ops.kvpool import make_kvpool_attn
+    kv2 = make_kvpool_attn(self_attn_fn, (g, g), pool=2)
     rows = {
         "int8": lambda: sample(qparams),
         "bf16eps": lambda: sample(params, x0=eps_x),
@@ -311,6 +315,14 @@ def main():
                                            phases=[(8, 2), (42, 21)]),
         "int8_ph6x2_44x22": lambda: sample(qparams,
                                            phases=[(6, 2), (44, 22)]),
+        # KV-pooled reuse-step attention (ops/kvpool.py): pool=2 shrinks the
+        # reuse steps' ds1 K/V 4x (key steps stay exact) — the reuse steps
+        # dominate the phased schedules' cost, so this is the next lever if
+        # the quality holds
+        "int8_ph8x2_42x21_kv2": lambda: sample(
+            qparams, phases=[(8, 2), (42, 21)], reuse_attn=kv2),
+        "int8_ph10x2_40x10_kv2": lambda: sample(
+            qparams, phases=[(10, 2), (40, 10)], reuse_attn=kv2),
         # bf16 turbo composition (no int8): isolates the turbo error from
         # the quant error — gates the latency-oriented b1 bf16 serving mode
         # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)
