@@ -270,6 +270,7 @@ def main():
     tome5 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.5)
     tome3 = make_tome_attn(self_attn_fn, (64, 64), ratio=0.25)
     kv2 = make_kvpool_attn(self_attn_fn, (64, 64), pool=2)
+    kv4 = make_kvpool_attn(self_attn_fn, (64, 64), pool=4)
     variants = {
         "bf16": (params, self_attn_fn, 1),
         "int8": (qparams, self_attn_fn, 1),
@@ -361,6 +362,12 @@ def main():
     variants["int8_ph10x2_40x10_kv2"] = (qparams, self_attn_fn, 1, model,
                                          None, 1, 1, "const",
                                          [(10, 2), (40, 10)], kv2)
+    variants["int8_ph8x2_42x21_kv4"] = (qparams, self_attn_fn, 1, model,
+                                        None, 1, 1, "const",
+                                        [(8, 2), (42, 21)], kv4)
+    variants["int8_ph10x2_40x10_kv4"] = (qparams, self_attn_fn, 1, model,
+                                         None, 1, 1, "const",
+                                         [(10, 2), (40, 10)], kv4)
     # phased bf16 rows (b1 latency-mode candidates — no quant error)
     variants["bf16_ph10x2_40x8"] = (params, self_attn_fn, 1, model,
                                     None, 1, 1, "const", [(10, 2), (40, 8)])

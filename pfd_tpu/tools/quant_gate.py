@@ -84,7 +84,8 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
              "int8_ph10x2_40x20lin", "int8_ph10x2_40x40",
              "int8_ph8x2_42x21", "int8_ph6x2_44x22",
              "bf16_ph10x2_40x8", "bf16_ph10x2_40x10", "bf16_ph10x2_40x20",
-             "int8_ph8x2_42x21_kv2", "int8_ph10x2_40x10_kv2")
+             "int8_ph8x2_42x21_kv2", "int8_ph10x2_40x10_kv2",
+             "int8_ph8x2_42x21_kv4", "int8_ph10x2_40x10_kv4")
 
 
 # ControlNet-path rows (GATE_SET=control); composition rule (ddim.py):
@@ -213,6 +214,7 @@ def main():
     tome5 = make_tome_attn(self_attn_fn, (g, g), ratio=0.5)
     from pfd_tpu.ops.kvpool import make_kvpool_attn
     kv2 = make_kvpool_attn(self_attn_fn, (g, g), pool=2)
+    kv4 = make_kvpool_attn(self_attn_fn, (g, g), pool=4)
     rows = {
         "int8": lambda: sample(qparams),
         "bf16eps": lambda: sample(params, x0=eps_x),
@@ -323,6 +325,12 @@ def main():
             qparams, phases=[(8, 2), (42, 21)], reuse_attn=kv2),
         "int8_ph10x2_40x10_kv2": lambda: sample(
             qparams, phases=[(10, 2), (40, 10)], reuse_attn=kv2),
+        # pool=4 stretch probe (16x fewer KV tokens): measure only if kv2
+        # holds with margin
+        "int8_ph8x2_42x21_kv4": lambda: sample(
+            qparams, phases=[(8, 2), (42, 21)], reuse_attn=kv4),
+        "int8_ph10x2_40x10_kv4": lambda: sample(
+            qparams, phases=[(10, 2), (40, 10)], reuse_attn=kv4),
         # bf16 turbo composition (no int8): isolates the turbo error from
         # the quant error — gates the latency-oriented b1 bf16 serving mode
         # (PARITY: b1 int8 loses to b1 bf16, so low-latency serving is bf16)
