@@ -164,14 +164,20 @@ QUANT = os.environ.get("BENCH_QUANT", "1") == "1"
 KVPOOL = _env_int("BENCH_KVPOOL", 0)
 
 
-def _reuse_attn(attn, size):
-    if KVPOOL <= 1:
+# BENCH_CTL_KVPOOL=2: same, for the ControlNet configs (control reuse
+# steps run the same ds1-only level; `ctl_..._kv2` gate rows)
+CTL_KVPOOL = _env_int("BENCH_CTL_KVPOOL", 0)
+
+
+def _reuse_attn(attn, size, pool=None):
+    pool = KVPOOL if pool is None else pool
+    if pool <= 1:
         return None
     from pfd_tpu.ops.kvpool import make_kvpool_attn
     if attn is None:
         from pfd_tpu.ops import nn
         attn = nn.dot_product_attention
-    return make_kvpool_attn(attn, (size // 8, size // 8), pool=KVPOOL)
+    return make_kvpool_attn(attn, (size // 8, size // 8), pool=pool)
 
 
 def build(with_control=False, quantized=None):
@@ -222,7 +228,9 @@ def make_e2e(model, sampler, tables, *, batch, with_control=False,
                                  cfg_extrapolate="const" if with_control
                                  else CFG_EXTRAPOLATE,
                                  phases=ctl_phases if with_control else PHASES,
-                                 reuse_self_attn_fn=None if with_control
+                                 reuse_self_attn_fn=_reuse_attn(
+                                     attn, SIZE, pool=CTL_KVPOOL)
+                                 if with_control
                                  else _reuse_attn(attn, SIZE))
         return model.vae_decode(params, x, "image")
 
@@ -340,7 +348,8 @@ def bench_controlnet(shared):
     suffix = ((f"_turbo{ctl_enc}" if ctl_enc > 1 else "")
               + (f"_cfg{ctl_cfg}" if ctl_cfg > 1 else "")
               + (f"_deep{ctl_deep}" if ctl_deep > 1 else "")
-              + _ph_suffix(ctl_ph))
+              + _ph_suffix(ctl_ph)
+              + (f"_kv{CTL_KVPOOL}" if CTL_KVPOOL > 1 else ""))
     emit({"metric": f"{SIZE}x{SIZE}_images_per_sec_per_chip_ddim{STEPS}"
                     f"_controlnet{suffix}",
           "value": round(ips, 4), "unit": "images/sec/chip",

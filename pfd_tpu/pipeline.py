@@ -45,7 +45,8 @@ class PromptFreeDiffusionPipeline:
                  with_control=True, self_attn_fn=None, config_override=None,
                  encoder_interval=1, quantized=False, tome_ratio=0.0,
                  cfg_interval=1, deep_interval=1, control_turbo=False,
-                 cfg_extrapolate="const", phases=None, kv_pool=0):
+                 cfg_extrapolate="const", phases=None, kv_pool=0,
+                 kv_min_s=4096):
         self.policy = policy or (BF16 if fp16 else FP32)
         self.root = pretrained_root
         self.with_control = with_control
@@ -63,8 +64,11 @@ class PromptFreeDiffusionPipeline:
         self.deep_interval = deep_interval
         # >1: KV-pooled self-attention on turbo REUSE steps (ops/kvpool.py)
         # — key steps keep exact attention; requires cfg_interval > 1 or
-        # phases. Output-changing, SSIM-gated (`_kv2` gate rows).
+        # phases. Output-changing, SSIM-gated (`_kv2` gate rows). kv_min_s:
+        # sequences shorter than this pass through unpooled (ds2/ds4
+        # attention is cheap; tiny test configs lower it).
         self.kv_pool = kv_pool
+        self.kv_min_s = kv_min_s
         # [(n, k), ...]: phased turbo schedule (ddim.py sample_fn phases
         # docstring) — dense key steps early, sparse late; replaces the
         # uniform interval knobs (they must stay 1), sum(n) == ddim_steps
@@ -248,7 +252,8 @@ class PromptFreeDiffusionPipeline:
                             q, k, v,
                             softmax_dtype=self.policy.softmax_dtype))
                     r_attn = make_kvpool_attn(inner, (h // f, w // f),
-                                              pool=self.kv_pool)
+                                              pool=self.kv_pool,
+                                              min_s=self.kv_min_s)
                 x, _ = self.sampler.sample_fn(
                     params, rng, x, c_info, tables,
                     self_attn_fn=attn,

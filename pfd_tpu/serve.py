@@ -221,6 +221,12 @@ if __name__ == "__main__":
     ap.add_argument("--tome", type=float, default=0.0, metavar="R",
                     help="ToMe token-merge ratio for ds1 self-attention "
                          "(0 = off; output-changing, SSIM-gated)")
+    ap.add_argument("--kv-pool", type=int, default=0, metavar="P",
+                    help="KV-pooled self-attention on turbo REUSE steps "
+                         "(ops/kvpool.py): average-pool K/V over PxP cells "
+                         "at the ds1 level; key steps keep exact attention. "
+                         "Requires --cfg-turbo > 1 or --phases. "
+                         "Output-changing, SSIM-gated (_kv{P} rows).")
     ap.add_argument("--control-turbo", action="store_true",
                     help="apply the --turbo/--cfg-turbo/--deep-turbo "
                          "intervals to ControlNet requests too (default: "
@@ -243,7 +249,7 @@ if __name__ == "__main__":
                                        cfg_extrapolate=args.cfg_extrapolate,
                                        deep_interval=args.deep_turbo,
                                        control_turbo=args.control_turbo,
-                                       phases=phases)
+                                       phases=phases, kv_pool=args.kv_pool)
     if args.ui:
         serve_gradio(pipe, port=args.port)
     else:

@@ -145,7 +145,7 @@ def main_control():
                        .transpose(0, 2, 3, 1))
 
     def run(p, attn, interval, m=model, cfg_interval=1, deep_interval=1,
-            phases=None):
+            phases=None, reuse_attn=None):
         c = m.ctx_encode(p, ref_img, "image")
         x, _ = DDIMSampler(m).sample(
             p, jax.random.PRNGKey(0), (1, 64, 64, 4),
@@ -155,8 +155,12 @@ def main_control():
                     "unconditional_guidance_scale": 2.0, "control": hint},
             steps=50, eta=0.0, self_attn_fn=attn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval, phases=phases)
+            deep_interval=deep_interval, phases=phases,
+            reuse_self_attn_fn=reuse_attn)
         return np.asarray(m.vae_decode(p, x, "image"))
+
+    from pfd_tpu.ops.kvpool import make_kvpool_attn
+    ctl_kv2 = make_kvpool_attn(self_attn_fn, (64, 64), pool=2)
 
     variants = {
         "ctl_fp32": lambda: run(params, None, 1, m=model32),
@@ -181,6 +185,9 @@ def main_control():
             qparams, self_attn_fn, 1, phases=[(10, 2), (40, 10)]),
         "ctl_int8_ph10x2_40x20": lambda: run(
             qparams, self_attn_fn, 1, phases=[(10, 2), (40, 20)]),
+        "ctl_int8_ph10x2_40x20_kv2": lambda: run(
+            qparams, self_attn_fn, 1, phases=[(10, 2), (40, 20)],
+            reuse_attn=ctl_kv2),
     }
     sel = os.environ.get("GATE_VARIANTS")
     names = sel.split(",") if sel else list(variants)

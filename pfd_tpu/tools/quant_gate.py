@@ -93,7 +93,7 @@ ROW_NAMES = ("int8", "bf16eps", "int8_turbo2", "int8_tome3", "int8_tome5",
 CTL_ROW_NAMES = ("ctl_int8", "ctl_int8_cfg2", "ctl_int8_turbo2_cfg2",
                  "ctl_int8_turbo2_cfg2_deep2", "ctl_int8_turbo3_cfg3_deep3",
                  "ctl_int8_ph10x2_40x8", "ctl_int8_ph10x2_40x10",
-                 "ctl_int8_ph10x2_40x20")
+                 "ctl_int8_ph10x2_40x20", "ctl_int8_ph10x2_40x20_kv2")
 
 
 N_SAMPLES = int(os.environ.get("GATE_SAMPLES", "8"))
@@ -389,7 +389,8 @@ def main_control():
         h, method="canny", size=(512, 512))) for h in hint_srcs])
     hint = jnp.asarray(np.repeat(hints, N_SAMPLES // len(hint_srcs), axis=0))
 
-    def sample(p, interval=1, cfg_interval=1, deep_interval=1, phases=None):
+    def sample(p, interval=1, cfg_interval=1, deep_interval=1, phases=None,
+               reuse_attn=None):
         c = model.ctx_encode(p, ref_img, "image")
         sampler = DDIMSampler(model)
         x, _ = sampler.sample(
@@ -401,7 +402,8 @@ def main_control():
                     "control": hint},
             steps=50, eta=0.0, self_attn_fn=self_attn_fn,
             encoder_interval=interval, cfg_interval=cfg_interval,
-            deep_interval=deep_interval, phases=phases)
+            deep_interval=deep_interval, phases=phases,
+            reuse_self_attn_fn=reuse_attn)
         return np.asarray(model.vae_decode(p, x, "image"))
 
     img_fp = sample(params)
@@ -410,6 +412,9 @@ def main_control():
     for k in ("diffuser", "vae", "ctl"):
         if k in qparams:
             qparams[k] = quant.quantize_params(params[k])
+
+    from pfd_tpu.ops.kvpool import make_kvpool_attn
+    ctl_kv2 = make_kvpool_attn(self_attn_fn, (64, 64), pool=2)
 
     def gate(name, img):
         per = _ssim_stats(img, img_fp)
@@ -445,6 +450,11 @@ def main_control():
                                                 phases=[(10, 2), (40, 10)]),
         "ctl_int8_ph10x2_40x20": lambda: sample(qparams,
                                                 phases=[(10, 2), (40, 20)]),
+        # KV-pooled reuse attention on the promoted control schedule
+        # (control reuse steps run the same ds1-only level, so the wrapper
+        # composes identically to the plain path)
+        "ctl_int8_ph10x2_40x20_kv2": lambda: sample(
+            qparams, phases=[(10, 2), (40, 20)], reuse_attn=ctl_kv2),
     }
     assert set(rows) == set(CTL_ROW_NAMES), "CTL_ROW_NAMES drifted"
     for name in names:

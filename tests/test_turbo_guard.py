@@ -112,3 +112,36 @@ def test_control_exact_under_phases(tmp_path):
     p2 = phased.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
     assert np.isfinite(np.asarray(p2[0])).all()
     assert np.abs(np.asarray(p1[0]) - np.asarray(p2[0])).max() > 1e-6
+
+
+def test_control_exact_under_kv_pool(tmp_path):
+    """kv_pool (ops/kvpool.py reuse-step attention) is output-changing too:
+    control requests must fall back to exact sampling (pipeline.py passes
+    reuse_self_attn_fn=None under the exact-control guard), while plain
+    requests run the pooled reuse attention."""
+    rng = np.random.default_rng(0)
+    ref = rng.random((64, 64, 3), dtype=np.float32)
+    ctl = np.zeros((64, 64, 3), np.float32)
+    ctl[16:48, 16:48] = 1.0
+
+    exact = _pipe(tmp_path, interval=1)
+    pooled = _pipe(tmp_path, interval=1, phases=[(2, 1), (2, 2)],
+                   kv_pool=2, kv_min_s=1)
+    plain_phased = _pipe(tmp_path, interval=1, phases=[(2, 1), (2, 2)])
+    exact.ddim_steps = 4
+    pooled.ddim_steps = 4
+    plain_phased.ddim_steps = 4
+    pooled.params = exact.params
+    plain_phased.params = exact.params
+
+    # control request: guard forces exact sampling despite kv_pool+phases
+    a1 = exact.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    a2 = pooled.action_inference(ref, ctl, "canny", True, 64, 64, 2.0, 5)
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    # plain request: kv_pool is live — differs from the unpooled phased run
+    p1 = plain_phased.action_inference(ref, None, "none", False, 64, 64,
+                                       2.0, 5)
+    p2 = pooled.action_inference(ref, None, "none", False, 64, 64, 2.0, 5)
+    assert np.isfinite(np.asarray(p2[0])).all()
+    assert np.abs(np.asarray(p1[0]) - np.asarray(p2[0])).max() > 1e-6
